@@ -1,0 +1,197 @@
+"""Multi-scalar multiplication (Pippenger) on TPU.
+
+TPU-native replacement for gnark-crypto's `MultiExp` (the #1 hot op in
+Groth16/PLONK proving — reference call sites:
+backend/groth16/bn254/prove.go:194,207,227,237,283; ~80% of prove time,
+SURVEY.md §3.2). Works generically over G1 (f = FF) and G2 (f = FF2).
+
+Strategy (SURVEY.md §7 step 3, "bucket accumulation without scatter"
+relaxed to *collision-free* scatter):
+
+  * scalars are sliced into W windows of c bits (digits on device);
+  * points are split into G independent groups; a `lax.scan` walks the
+    n/G points of every (window, group) pair simultaneously, each step
+    doing ONE batched complete mixed-add of width W*G into a flat
+    bucket array — the scatter indices within a step are distinct by
+    construction (each (w, g) owns a disjoint bucket range), so the
+    update is collision-free and XLA-legal;
+  * groups fold with a log2(G) tree of batched Jacobian adds;
+  * per-window bucket reduction sum_j j*B_j is a *reverse associative
+    scan* (suffix sums) + tree reduction — O(c) depth, fully batched;
+  * windows combine with the classic c-doublings Horner ladder.
+
+Total EC work: n*W mixed adds (same op count as CPU Pippenger) +
+O(2^c * (log G + c)) batched adds of width W*2^c.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnark_tpu.fields import LIMB_BITS
+from gnark_tpu.utils.jaxutil import match_vma
+from gnark_tpu.ec.weierstrass import (
+    jac_add, jac_add_mixed, jac_double, jac_inf, jac_select,
+)
+
+
+def window_digits(scalars, nbits: int, c: int):
+    """(n, K) uint32 16-bit scalar limbs -> (n, W) int32 c-bit digits."""
+    n, K = scalars.shape
+    W = -(-nbits // c)
+    padded = jnp.concatenate(
+        [scalars, jnp.zeros((n, 1), scalars.dtype)], axis=1)
+    cols = []
+    mask = np.uint32((1 << c) - 1)
+    for w in range(W):
+        bit0 = w * c
+        lo, sh = divmod(bit0, LIMB_BITS)
+        v = padded[:, lo] >> np.uint32(sh)
+        if sh + c > LIMB_BITS:
+            v = v | (padded[:, lo + 1] << np.uint32(LIMB_BITS - sh))
+        cols.append(v & mask)
+    return jnp.stack(cols, axis=1).astype(jnp.int32)
+
+
+def _suffix_sums(f, P, m: int, axis: int):
+    """Log-depth suffix sums over axis of length m with EC adds.
+
+    Hillis-Steele over a fori_loop: S_i <- S_i + S_{i+2^k}, shifted
+    elements beyond the end masked to infinity. ONE jac_add
+    instantiation in the graph regardless of m (compile-time critical:
+    tree folds / associative_scan instantiate the 4k-op complete-add
+    graph log(m) times and made MSM compiles take minutes).
+    Returns a pytree shaped like P where index i along `axis` holds
+    sum_{j >= i} P_j.
+    """
+    steps = max(m - 1, 0).bit_length()
+    idx = jnp.arange(m, dtype=jnp.int32)
+
+    def body(k, S):
+        sh = jnp.int32(1) << k
+        # out-of-range shifted entries become all-zero coords (Z=0 ==
+        # infinity, the identity of jac_add) via the valid mask.
+        def shift(a):
+            rolled = jnp.roll(a, -sh, axis=axis)
+            shape = [1] * a.ndim
+            shape[axis] = m
+            valid = ((idx + sh) < m).reshape(shape)
+            return jnp.where(valid, rolled, jnp.zeros((), a.dtype))
+        shifted = tuple(shift(a) for a in S)
+        return jac_add(f, S, shifted)
+
+    return jax.lax.fori_loop(0, steps, body, P)
+
+
+def _pick_params(n: int, nbits: int):
+    """(c, G) heuristics.
+
+    c balances scan work n*W against bucket count W*2^c; G (number of
+    parallel point groups per window) is capped at n/2^c so the
+    group-fold overhead W*2^c*log(G) stays below the useful n*W adds.
+    n is a power of two (msm() pads), so G is too.
+    """
+    if n <= 256:
+        c = 4
+    elif n <= 1 << 12:
+        c = 8
+    elif n <= 1 << 16:
+        c = 11
+    elif n <= 1 << 20:
+        c = 13
+    else:
+        c = 15
+    G = max(1, min(4096, n >> c))
+    return c, G
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _msm_kernel(f, points, digits, nbits: int, c: int, G: int):
+    x, y, inf = points
+    n = x.shape[0]
+    W = digits.shape[1]
+    B = 1 << c
+    steps = n // G
+
+    # scatter index per (step, w, g): (w*G + g)*B + digit
+    d = digits.reshape(G, steps, W).transpose(1, 2, 0)       # (steps, W, G)
+    wg_base = (jnp.arange(W * G, dtype=jnp.int32) * B).reshape(W, G)
+    idx = (d + wg_base[None]).reshape(steps, W * G)
+
+    # per-step affine points, grouped: (steps, G, ...)
+    def grp(a):
+        return a.reshape((G, steps) + a.shape[1:]).swapaxes(0, 1)
+
+    xs = (idx, grp(x), grp(y), grp(inf))
+
+    buckets = tuple(match_vma(a, x) for a in jac_inf(f, (W * G * B,)))
+
+    def body(bk, step):
+        ix, px, py, pinf = step
+        cur = tuple(a[ix] for a in bk)
+        # broadcast the G points across W windows -> width W*G
+        tile = lambda a: jnp.broadcast_to(
+            a[None], (W,) + a.shape).reshape((W * G,) + a.shape[1:])
+        new = jac_add_mixed(f, cur, (tile(px), tile(py), tile(pinf)))
+        bk = tuple(a.at[ix].set(v) for a, v in zip(bk, new))
+        return bk, None
+
+    buckets, _ = jax.lax.scan(body, buckets, xs)
+
+    # fold groups: (W, G, B, ...) -> (W, B, ...) (suffix over G, take 0)
+    bk = tuple(a.reshape((W, G, B) + a.shape[1:]) for a in buckets)
+    bk = _suffix_sums(f, bk, G, axis=1)
+    bk = tuple(a[:, 0] for a in bk)       # (W, B, ...)
+
+    # per window: sum_j j*B_j = sum of suffix sums of buckets 1..B-1
+    tail = tuple(a[:, 1:] for a in bk)    # (W, B-1, ...)
+    suf = _suffix_sums(f, tail, B - 1, axis=1)
+    tot = _suffix_sums(f, suf, B - 1, axis=1)
+    tot = tuple(a[:, 0] for a in tot)     # (W, ...) per-window sums
+
+    # Horner over windows: R = 2^c * R + T_w, from the top window down.
+    # fori_loops keep the graph at one double + one add instantiation.
+    def win_body(i, R):
+        R = jax.lax.fori_loop(0, c, lambda _, S: jac_double(f, S), R)
+        Tw = tuple(a[W - 1 - i] for a in tot)
+        return jac_add(f, R, Tw)
+
+    R0 = tuple(match_vma(a, x) for a in jac_inf(f, ()))
+    return jax.lax.fori_loop(0, W, win_body, R0)
+
+
+def msm(f, points, scalars, nbits: int, c: int | None = None,
+        groups: int | None = None):
+    """MSM: sum_i scalars[i] * points[i].
+
+    points:  (x, y, inf) affine arrays, leading dim n
+    scalars: (n, K) uint32 16-bit limbs of PLAIN (non-Montgomery) scalars
+    nbits:   scalar bit width (fr.bits)
+    Returns a Jacobian point (batch shape ()).
+    """
+    x, y, inf = points
+    n = x.shape[0]
+    # round the size up to a power-of-two class (>= 64) so repeated
+    # MSMs of nearby sizes share one compiled kernel
+    n_class = 64
+    while n_class < n:
+        n_class *= 2
+    if c is None or groups is None:
+        c_auto, g_auto = _pick_params(n_class, nbits)
+        c = c or c_auto
+        groups = groups or g_auto
+    G = min(groups, n_class)
+    # pad with infinity points / zero scalars
+    pad = n_class - n
+    if pad:
+        x = jnp.concatenate([x, jnp.broadcast_to(f.zeros(()), (pad,) + x.shape[1:])])
+        y = jnp.concatenate([y, jnp.broadcast_to(f.zeros(()), (pad,) + y.shape[1:])])
+        inf = jnp.concatenate([inf, jnp.ones((pad,), bool)])
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad, scalars.shape[1]), scalars.dtype)])
+    digits = window_digits(scalars, nbits, c)
+    return _msm_kernel(f, (x, y, inf), digits, nbits, c, G)
