@@ -1,0 +1,29 @@
+"""Pairing bilinearity / non-degeneracy tests (host Tate engine)."""
+
+import pytest
+
+from gnark_tpu.ec import curves, host
+from gnark_tpu.pairing import get_pairing
+
+
+@pytest.mark.parametrize("name", ["bn254", "bls12_377", "bls12_381",
+                                  "bw6_761"])
+def test_bilinear(name):
+    c = curves.CURVES[name]
+    pr = get_pairing(name)
+    e = pr.pair(c.g1, c.g2)
+    assert not pr.ext.eq(e, pr.ext.one), "degenerate pairing"
+    a = pr.pair(host.ec_mul(c.host_fp, c.g1, 7), c.g2)
+    b = pr.pair(c.g1, host.ec_mul(c.host_g2_field, c.g2, 7))
+    assert pr.ext.eq(a, b)
+    assert pr.ext.eq(a, pr.ext.pow(e, 7))
+
+
+def test_pairing_product_bn254():
+    c = curves.CURVES["bn254"]
+    pr = get_pairing("bn254")
+    f2 = c.host_g2_field
+    # e(3P, Q) * e(-3P, Q) == 1  (multi-pairing folds into one final exp)
+    P3 = host.ec_mul(c.host_fp, c.g1, 3)
+    res = pr.pairing_product([(P3, c.g2), (host.ec_neg(c.host_fp, P3), c.g2)])
+    assert pr.ext.eq(res, pr.ext.one)
