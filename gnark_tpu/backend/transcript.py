@@ -1,0 +1,59 @@
+"""Fiat-Shamir transcript (SHA-256).
+
+Analog of gnark-crypto's fiat-shamir.Transcript as used by PLONK
+(reference: backend/plonk/bn254/prove.go:217 challenge order
+"gamma","beta","alpha","zeta"; verify.go:88-125). Byte conventions are
+our own (documented here) — gnark-bit-compat serialization is a
+follow-up interop task:
+
+  * field elements bind as 32/48/96-byte big-endian (fr.bits//8 rounded)
+  * G1/G2 affine points bind as x||y (Fp2 coords as c0||c1)
+  * challenge = SHA256(name || prev_challenge || bound_data) mod r
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+class Transcript:
+    def __init__(self, q: int, names: list[str]):
+        self.q = q
+        self.nbytes = -(-q.bit_length() // 8)
+        self.names = list(names)
+        self._data: dict[str, bytes] = {n: b"" for n in names}
+        self._value: dict[str, int] = {}
+        self._done: list[str] = []
+
+    def fe_bytes(self, v: int) -> bytes:
+        return (v % self.q).to_bytes(self.nbytes, "big")
+
+    def point_bytes(self, P, p_mod: int) -> bytes:
+        """Affine host point (or INF) over Fp or Fp2."""
+        nb = -(-p_mod.bit_length() // 8)
+        if P is None:
+            return b"\x00" * (2 * nb)
+        def coord(c):
+            if isinstance(c, tuple):
+                return c[0].to_bytes(nb, "big") + c[1].to_bytes(nb, "big")
+            return c.to_bytes(nb, "big")
+        return coord(P[0]) + coord(P[1])
+
+    def bind(self, name: str, data: bytes) -> None:
+        assert name in self._data and name not in self._value, name
+        self._data[name] += data
+
+    def challenge(self, name: str) -> int:
+        assert name not in self._value
+        idx = self.names.index(name)
+        assert len(self._done) == idx, \
+            f"challenges must be derived in order: {self.names}"
+        h = hashlib.sha256()
+        h.update(name.encode())
+        if self._done:
+            h.update(self.fe_bytes(self._value[self._done[-1]]))
+        h.update(self._data[name])
+        v = int.from_bytes(h.digest(), "big") % self.q
+        self._value[name] = v
+        self._done.append(name)
+        return v

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gnark_tpu.config import limb_unroll
+from gnark_tpu.utils.jaxutil import match_vma
 from gnark_tpu.fields import FIELDS, LIMB_BITS, LIMB_MASK, FieldParams
 
 _DT = jnp.uint32
@@ -97,34 +99,45 @@ class FF:
     # ------------------------------------------------------------------
 
     def _carry_prop(self, acc, out_n=None):
-        """Normalize lazy limbs (< 2^32) to < 2^16 each. Returns (..., out_n)."""
+        """Normalize lazy limbs (< 2^32) to < 2^16 each. Returns (..., out_n).
+
+        Carry ripple as a lax.scan over limb position (O(1) graph size —
+        unrolling n limb iterations made whole-prover graphs explode in
+        compile time; see also mul())."""
         m = acc.shape[-1]
         out_n = out_n or m
-        limbs = []
-        c = jnp.zeros(acc.shape[:-1], dtype=_DT)
-        for i in range(m):
-            t = acc[..., i] + c
-            limbs.append(t & _MASK)
-            c = t >> LIMB_BITS
-        while len(limbs) < out_n:
-            limbs.append(c & _MASK)
-            c = c >> LIMB_BITS
-        return jnp.stack(limbs[:out_n], axis=-1)
+        if out_n > m:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros(acc.shape[:-1] + (out_n - m,), _DT)], -1)
+        x = jnp.moveaxis(acc[..., :out_n], -1, 0)  # (out_n, ...)
+
+        def body(c, limb):
+            t = limb + c
+            return t >> LIMB_BITS, t & _MASK
+
+        _, limbs = jax.lax.scan(body, match_vma(jnp.zeros(x.shape[1:], _DT), x), x,
+                                unroll=limb_unroll())
+        return jnp.moveaxis(limbs, 0, -1)
 
     def _sub_borrow(self, a, b):
         """a - b over normalized limb arrays of equal width.
 
         Returns (diff, borrow_out) with borrow_out==1 iff a < b.
         """
-        m = a.shape[-1]
-        limbs = []
-        borrow = jnp.zeros(a.shape[:-1], dtype=_DT)
         base = np.uint32(1 << LIMB_BITS)
-        for i in range(m):
-            t = a[..., i] + base - b[..., i] - borrow
-            limbs.append(t & _MASK)
-            borrow = jnp.asarray(1, _DT) - (t >> LIMB_BITS)
-        return jnp.stack(limbs, axis=-1), borrow
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.moveaxis(jnp.broadcast_to(a, shape), -1, 0)
+        b = jnp.moveaxis(jnp.broadcast_to(b, shape), -1, 0)
+
+        def body(borrow, ab):
+            ai, bi = ab
+            t = ai + base - bi - borrow
+            return jnp.asarray(1, _DT) - (t >> LIMB_BITS), t & _MASK
+
+        borrow, limbs = jax.lax.scan(
+            body, match_vma(match_vma(jnp.zeros(a.shape[1:], _DT), a), b), (a, b),
+            unroll=limb_unroll())
+        return jnp.moveaxis(limbs, 0, -1), borrow
 
     def _cond_sub_p(self, a):
         """Reduce a (normalized, < 2p, width n or n+1) into [0, p)."""
@@ -157,14 +170,23 @@ class FF:
         return jnp.where(self.is_zero(a)[..., None], a, d)
 
     def mul(self, a, b):
-        """Montgomery product: a*b*R^-1 mod p (CIOS, lazy carries)."""
+        """Montgomery product: a*b*R^-1 mod p (CIOS, lazy carries).
+
+        The outer CIOS loop is a lax.scan over a's limbs so the traced
+        graph is O(1) in limb count (critical: EC formulas instantiate
+        dozens of muls and unrolled CIOS made jac_add take minutes to
+        compile)."""
         n = self.n
         P = jnp.asarray(self.P_np)  # (n,)
-        zero1 = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (1,), _DT)
-        acc = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (n + 1,), _DT)
-        for i in range(n):
+        bshape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+        a = jnp.broadcast_to(a, bshape + (n,))
+        b = jnp.broadcast_to(b, bshape + (n,))
+        zero1 = jnp.zeros(bshape + (1,), _DT)
+        a_limbs = jnp.moveaxis(a, -1, 0)  # (n, ..., 1)-ish: (n, ...)
+
+        def body(acc, ai):
             # acc += a[i] * b
-            pij = a[..., i : i + 1] * b  # (..., n), exact in uint32
+            pij = ai[..., None] * b  # (..., n), exact in uint32
             acc = acc + jnp.concatenate([pij & _MASK, zero1], axis=-1)
             acc = acc + jnp.concatenate([zero1, pij >> LIMB_BITS], axis=-1)
             # m = (acc[0] mod 2^16) * n0inv mod 2^16
@@ -176,6 +198,10 @@ class FF:
             carry = acc[..., 0] >> LIMB_BITS
             acc = jnp.concatenate([acc[..., 1:], zero1], axis=-1)
             acc = acc.at[..., 0].add(carry)
+            return acc, None
+
+        acc = match_vma(match_vma(jnp.zeros(bshape + (n + 1,), _DT), b), a)
+        acc, _ = jax.lax.scan(body, acc, a_limbs, unroll=limb_unroll())
         acc = self._carry_prop(acc, n + 1)
         return self._cond_sub_p(acc)
 
@@ -241,7 +267,7 @@ class FF:
         Runs as a fori_loop (compiled once), MSB->LSB.
         """
         nbits = bits_lsb.shape[0]
-        one = self.ones(a.shape[:-1])
+        one = match_vma(jnp.asarray(self.ones(a.shape[:-1])), a)
 
         def body(i, r):
             r = self.square(r)

@@ -1,0 +1,70 @@
+"""End-to-end PLONK: SCS compile -> setup -> prove -> verify."""
+
+import random
+
+import pytest
+
+from gnark_tpu import fields
+from gnark_tpu.backend import kzg, plonk
+from gnark_tpu.frontend import Circuit, Public, Secret, compile_circuit, witness
+from gnark_tpu.frontend.scs import SCSBuilder
+
+from tests.test_frontend import Cubic
+
+
+@pytest.fixture(scope="module")
+def cubic_plonk():
+    cs = compile_circuit(Cubic(), fields.BN254_FR, builder_cls=SCSBuilder)
+    srs = kzg.setup_srs("bn254", 64, rng=random.Random(33))
+    pk, vk = plonk.setup(cs, srs)
+    return cs, pk, vk
+
+
+def test_plonk_cubic_roundtrip(cubic_plonk):
+    cs, pk, vk = cubic_plonk
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(1))
+    assert plonk.verify(proof, vk, pub)
+
+
+def test_plonk_wrong_public(cubic_plonk):
+    cs, pk, vk = cubic_plonk
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(2))
+    assert not plonk.verify(proof, vk, [36])
+
+
+def test_plonk_tampered(cubic_plonk):
+    cs, pk, vk = cubic_plonk
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    p1 = plonk.prove(cs, pk, pub, sec, rng=random.Random(3))
+    p2 = plonk.prove(cs, pk, pub, sec, rng=random.Random(4))
+    t = plonk.PlonkProof(lro=p1.lro, z=p2.z, h=p1.h, batched_h=p1.batched_h,
+                         claimed=p1.claimed, z_shift_h=p1.z_shift_h, zu=p1.zu)
+    assert not plonk.verify(t, vk, pub)
+
+
+class MultiGate(Circuit):
+    """Wider circuit: products, booleans, a hint."""
+    a: Secret
+    b: Secret
+    c: Public
+
+    def define(self, api):
+        t = api.mul(self.a, self.b)
+        u = api.add(t, api.mul(self.a, self.a), 7)
+        z = api.is_zero(api.sub(u, self.c))
+        api.assert_is_equal(z, 1)
+
+
+def test_plonk_multigate():
+    cs = compile_circuit(MultiGate(), fields.BN254_FR,
+                         builder_cls=SCSBuilder)
+    srs = kzg.setup_srs("bn254", 64, rng=random.Random(44))
+    pk, vk = plonk.setup(cs, srs)
+    a, b = 5, 11
+    c = (a * b + a * a + 7)
+    pub, sec = witness(MultiGate(a=a, b=b, c=c), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(5))
+    assert plonk.verify(proof, vk, pub)
+    assert not plonk.verify(proof, vk, [c + 1])
