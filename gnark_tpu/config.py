@@ -1,0 +1,31 @@
+"""Global kernel-tuning knobs.
+
+LIMB_UNROLL: unroll factor for the per-limb loops inside field
+arithmetic (CIOS Montgomery mul, carry chains).
+
+  * On TPU, sequential lax.scan iterations cost ~1us each in loop
+    overhead; a 16-limb mul as a pure scan is latency-bound. Unrolling
+    trades compile time for ~an order of magnitude runtime.
+  * On CPU (tests), full unrolling explodes compile time (a complete
+    Jacobian add is ~4k ops unrolled), so we keep the scan.
+
+Resolved lazily on first use so tests can force the platform first.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=None)
+def limb_unroll() -> int:
+    env = os.environ.get("GNARK_TPU_LIMB_UNROLL")
+    if env:
+        return int(env)
+    import jax
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return 8 if platform != "cpu" else 1

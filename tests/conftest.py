@@ -2,12 +2,18 @@
 
 Multi-chip sharding tests use a virtual 8-device mesh (the driver
 validates real multi-chip separately via __graft_entry__.dryrun_multichip).
-Must run before jax is imported anywhere.
+
+NOTE: the environment's sitecustomize imports jax at interpreter start
+with JAX_PLATFORMS=axon (the remote TPU tunnel), so setting the env var
+here is too late — jax already captured it. jax.config.update works
+after import as long as no backend has been initialized, and forces
+tests onto the local CPU (hermetic + parallel-safe; the tunnel
+serializes every compile/dispatch across processes otherwise).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compile cache: EC/MSM kernels are compile-heavy; reuse
+# XLA executables across test processes and sessions.
+os.makedirs("/root/.cache/gnark_tpu_xla", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/gnark_tpu_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
