@@ -54,14 +54,20 @@ def main():
     digits = window_digits(scalars, nbits, c)
 
     fn = jax.jit(lambda p, d: _msm_kernel(ffp, p, d, nbits, c, groups))
-    R = fn((x, y, inf), digits)
-    jax.block_until_ready(R)          # compile + first run
 
+    def run_and_fetch():
+        # fetch (not block_until_ready): the remote-TPU tunnel's
+        # block_until_ready can return before execution finishes;
+        # np.asarray is the only reliable barrier.
+        R = fn((x, y, inf), digits)
+        return [np.asarray(a) for a in R]
+
+    run_and_fetch()                    # compile + first run
+    run_and_fetch()                    # steady state
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        R = fn((x, y, inf), digits)
-    jax.block_until_ready(R)
+        run_and_fetch()
     dt = (time.perf_counter() - t0) / iters
 
     pps = n / dt

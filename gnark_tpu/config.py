@@ -19,6 +19,20 @@ import os
 
 
 @functools.lru_cache(maxsize=None)
+def use_pallas() -> bool:
+    """Use fused Pallas EC kernels (TPU default; GNARK_TPU_PALLAS=0/1
+    overrides — tests set 1 on CPU to exercise interpret mode)."""
+    env = os.environ.get("GNARK_TPU_PALLAS")
+    if env is not None:
+        return env == "1"
+    import jax
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
+@functools.lru_cache(maxsize=None)
 def limb_unroll() -> int:
     env = os.environ.get("GNARK_TPU_LIMB_UNROLL")
     if env:

@@ -1,0 +1,232 @@
+"""Fused Pallas EC kernels (G1 / base-field groups).
+
+Each kernel performs a COMPLETE Jacobian group operation on a block of
+points in one pass — the whole formula (dozens of field muls) is
+straight-line unrolled VPU code, eliminating the per-iteration scan
+overhead that dominates the portable jnp path on TPU (see
+ff/pallas_mont.py docstring for the measured story).
+
+Exports drop-in replacements for gnark_tpu.ec.weierstrass ops
+(batched over leading dim n, standard (n, L) layout — kernels
+transpose to (L, T) tiles internally):
+
+    jac_add_p(ff, P, Q)         complete add
+    jac_add_mixed_p(ff, P, A)   complete mixed add (affine + inf mask)
+    jac_double_p(ff, P)         double
+
+Used by the MSM when config.use_pallas() (TPU); CPU tests exercise the
+same kernels in pallas interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnark_tpu.ff.mont import FF
+from gnark_tpu.ff.pallas_mont import TFF
+
+_T = 128  # batch tile (lanes)
+
+
+@functools.lru_cache(maxsize=None)
+def _tff(name: str) -> TFF:
+    from gnark_tpu.fields import FIELDS
+    return TFF(FIELDS[name])
+
+
+def _jac_double_t(f: TFF, X1, Y1, Z1):
+    A = f.square(X1)
+    B = f.square(Y1)
+    C = f.square(B)
+    t = f.square(f.add(X1, B))
+    D = f.double(f.sub(f.sub(t, A), C))
+    E = f.add(f.double(A), A)
+    F = f.square(E)
+    X3 = f.sub(F, f.double(D))
+    Y3 = f.sub(f.mul(E, f.sub(D, X3)), f.mul_small(C, 8))
+    Z3 = f.double(f.mul(Y1, Z1))
+    return X3, Y3, Z3
+
+
+def _jac_sel(f: TFF, cond, P, Q):
+    return tuple(f.select(cond, a, b) for a, b in zip(P, Q))
+
+
+def _jac_add_t(f: TFF, P, Q):
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = f.square(Z1)
+    Z2Z2 = f.square(Z2)
+    U1 = f.mul(X1, Z2Z2)
+    U2 = f.mul(X2, Z1Z1)
+    S1 = f.mul(f.mul(Y1, Z2), Z2Z2)
+    S2 = f.mul(f.mul(Y2, Z1), Z1Z1)
+    H = f.sub(U2, U1)
+    r = f.double(f.sub(S2, S1))
+    I = f.square(f.double(H))
+    J = f.mul(H, I)
+    V = f.mul(U1, I)
+    X3 = f.sub(f.sub(f.square(r), J), f.double(V))
+    Y3 = f.sub(f.mul(r, f.sub(V, X3)), f.double(f.mul(S1, J)))
+    Z3 = f.mul(f.sub(f.sub(f.square(f.add(Z1, Z2)), Z1Z1), Z2Z2), H)
+    R = (X3, Y3, Z3)
+
+    inf1 = f.is_zero(Z1)
+    inf2 = f.is_zero(Z2)
+    x_eq = f.is_zero(H)
+    y_eq = f.is_zero(r)
+    both = ~inf1 & ~inf2
+    T = X3.shape[1]
+    R = _jac_sel(f, both & x_eq & y_eq, _jac_double_t(f, X1, Y1, Z1), R)
+    R = _jac_sel(f, both & x_eq & ~y_eq,
+                 (f.ones(T), f.ones(T), f.zeros(T)), R)
+    R = _jac_sel(f, inf1, Q, R)
+    R = _jac_sel(f, inf2, P, R)
+    return R
+
+
+def _jac_add_mixed_t(f: TFF, P, x2, y2, inf2):
+    X1, Y1, Z1 = P
+    Z1Z1 = f.square(Z1)
+    U2 = f.mul(x2, Z1Z1)
+    S2 = f.mul(f.mul(y2, Z1), Z1Z1)
+    H = f.sub(U2, X1)
+    HH = f.square(H)
+    I = f.mul_small(HH, 4)
+    J = f.mul(H, I)
+    r = f.double(f.sub(S2, Y1))
+    V = f.mul(X1, I)
+    X3 = f.sub(f.sub(f.square(r), J), f.double(V))
+    Y3 = f.sub(f.mul(r, f.sub(V, X3)), f.double(f.mul(Y1, J)))
+    Z3 = f.sub(f.sub(f.square(f.add(Z1, H)), Z1Z1), HH)
+    R = (X3, Y3, Z3)
+
+    inf1 = f.is_zero(Z1)
+    x_eq = f.is_zero(H)
+    y_eq = f.is_zero(r)
+    both = ~inf1 & ~inf2
+    T = X3.shape[1]
+    R = _jac_sel(f, both & x_eq & y_eq, _jac_double_t(f, X1, Y1, Z1), R)
+    R = _jac_sel(f, both & x_eq & ~y_eq,
+                 (f.ones(T), f.ones(T), f.zeros(T)), R)
+    one = f.ones(T)
+    zero = f.zeros(T)
+    Qjac = (f.select(inf2, one, x2), f.select(inf2, one, y2),
+            f.select(inf2, zero, one))
+    R = _jac_sel(f, inf1, Qjac, R)
+    R = _jac_sel(f, inf2, P, R)
+    return R
+
+
+# ---------------------------------------------------------------------------
+# kernels (standard (n, L) layout at the boundary)
+# ---------------------------------------------------------------------------
+
+def _spec(L):
+    return pl.BlockSpec((_T, L), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(L):
+    """(L, 1) constant column, same block for every grid step."""
+    return pl.BlockSpec((L, 1), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _bool_spec():
+    return pl.BlockSpec((_T,), lambda i: (i,), memory_space=pltpu.VMEM)
+
+
+def _interpret() -> bool:
+    return jax.devices()[0].platform == "cpu"
+
+
+def _pad_to_tile(arrs, n):
+    padn = -n % _T
+    if padn == 0:
+        return arrs, n
+    out = []
+    for a in arrs:
+        pad_shape = (padn,) + a.shape[1:]
+        out.append(jnp.concatenate([a, jnp.zeros(pad_shape, a.dtype)], 0))
+    return out, n + padn
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def jac_add_p(ff: FF, P, Q):
+    f = _tff(ff.p.name)
+    L = ff.n
+    n = P[0].shape[0]
+    arrs, np_ = _pad_to_tile(list(P) + list(Q), n)
+
+    def kernel(pcol, onecol, x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        fb = f.bind(pcol[:], onecol[:])
+        R = _jac_add_t(fb, (x1[:].T, y1[:].T, z1[:].T),
+                       (x2[:].T, y2[:].T, z2[:].T))
+        ox[:], oy[:], oz[:] = R[0].T, R[1].T, R[2].T
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((np_, L), jnp.uint32)] * 3,
+        grid=(np_ // _T,),
+        in_specs=[_const_spec(L)] * 2 + [_spec(L)] * 6,
+        out_specs=[_spec(L)] * 3,
+        interpret=_interpret(),
+    )(*f.consts(), *arrs)
+    return tuple(a[:n] for a in out)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def jac_add_mixed_p(ff: FF, P, A):
+    f = _tff(ff.p.name)
+    L = ff.n
+    n = P[0].shape[0]
+    x2, y2, inf2 = A
+    inf2 = inf2.astype(jnp.uint32)
+    arrs, np_ = _pad_to_tile(list(P) + [x2, y2], n)
+    (inf2_p,), _ = _pad_to_tile([inf2[:, None]], n)
+
+    def kernel(pcol, onecol, x1, y1, z1, px, py, pinf, ox, oy, oz):
+        fb = f.bind(pcol[:], onecol[:])
+        R = _jac_add_mixed_t(
+            fb, (x1[:].T, y1[:].T, z1[:].T), px[:].T, py[:].T,
+            pinf[:].T[0] != 0)
+        ox[:], oy[:], oz[:] = R[0].T, R[1].T, R[2].T
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((np_, L), jnp.uint32)] * 3,
+        grid=(np_ // _T,),
+        in_specs=[_const_spec(L)] * 2 + [_spec(L)] * 5 + [_spec(1)],
+        out_specs=[_spec(L)] * 3,
+        interpret=_interpret(),
+    )(*f.consts(), *arrs, inf2_p)
+    return tuple(a[:n] for a in out)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def jac_double_p(ff: FF, P):
+    f = _tff(ff.p.name)
+    L = ff.n
+    n = P[0].shape[0]
+    arrs, np_ = _pad_to_tile(list(P), n)
+
+    def kernel(pcol, onecol, x1, y1, z1, ox, oy, oz):
+        fb = f.bind(pcol[:], onecol[:])
+        R = _jac_double_t(fb, x1[:].T, y1[:].T, z1[:].T)
+        ox[:], oy[:], oz[:] = R[0].T, R[1].T, R[2].T
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((np_, L), jnp.uint32)] * 3,
+        grid=(np_ // _T,),
+        in_specs=[_const_spec(L)] * 2 + [_spec(L)] * 3,
+        out_specs=[_spec(L)] * 3,
+        interpret=_interpret(),
+    )(*f.consts(), *arrs)
+    return tuple(a[:n] for a in out)

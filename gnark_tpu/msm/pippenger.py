@@ -32,11 +32,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gnark_tpu import config
 from gnark_tpu.fields import LIMB_BITS
 from gnark_tpu.utils.jaxutil import match_vma
 from gnark_tpu.ec.weierstrass import (
     jac_add, jac_add_mixed, jac_double, jac_inf, jac_select,
 )
+
+
+def _group_ops(f):
+    """(add, add_mixed, double) — fused Pallas kernels for base-field
+    groups on TPU (an order of magnitude faster than the portable scan
+    path; see ec/pallas_ec.py), portable jnp ops otherwise/for Fp2."""
+    from gnark_tpu.ff.mont import FF
+    if config.use_pallas() and isinstance(f, FF):
+        from gnark_tpu.ec import pallas_ec
+        return (pallas_ec.jac_add_p, pallas_ec.jac_add_mixed_p,
+                pallas_ec.jac_double_p)
+    return jac_add, jac_add_mixed, jac_double
 
 
 def window_digits(scalars, nbits: int, c: int):
@@ -57,7 +70,7 @@ def window_digits(scalars, nbits: int, c: int):
     return jnp.stack(cols, axis=1).astype(jnp.int32)
 
 
-def _suffix_sums(f, P, m: int, axis: int):
+def _suffix_sums(f, P, m: int, axis: int, add_fn=jac_add):
     """Log-depth suffix sums over axis of length m with EC adds.
 
     Hillis-Steele over a fori_loop: S_i <- S_i + S_{i+2^k}, shifted
@@ -82,7 +95,14 @@ def _suffix_sums(f, P, m: int, axis: int):
             valid = ((idx + sh) < m).reshape(shape)
             return jnp.where(valid, rolled, jnp.zeros((), a.dtype))
         shifted = tuple(shift(a) for a in S)
-        return jac_add(f, S, shifted)
+        if add_fn is not jac_add:
+            # pallas kernels take one flat batch dim: (n, L)
+            shp = S[0].shape
+            Sf = tuple(a.reshape(-1, a.shape[-1]) for a in S)
+            Tf = tuple(a.reshape(-1, a.shape[-1]) for a in shifted)
+            R = add_fn(f, Sf, Tf)
+            return tuple(a.reshape(shp) for a in R)
+        return add_fn(f, S, shifted)
 
     return jax.lax.fori_loop(0, steps, body, P)
 
@@ -111,6 +131,7 @@ def _pick_params(n: int, nbits: int):
 
 @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def _msm_kernel(f, points, digits, nbits: int, c: int, G: int):
+    add_fn, add_mixed_fn, double_fn = _group_ops(f)
     x, y, inf = points
     n = x.shape[0]
     W = digits.shape[1]
@@ -136,7 +157,7 @@ def _msm_kernel(f, points, digits, nbits: int, c: int, G: int):
         # broadcast the G points across W windows -> width W*G
         tile = lambda a: jnp.broadcast_to(
             a[None], (W,) + a.shape).reshape((W * G,) + a.shape[1:])
-        new = jac_add_mixed(f, cur, (tile(px), tile(py), tile(pinf)))
+        new = add_mixed_fn(f, cur, (tile(px), tile(py), tile(pinf)))
         bk = tuple(a.at[ix].set(v) for a, v in zip(bk, new))
         return bk, None
 
@@ -144,24 +165,25 @@ def _msm_kernel(f, points, digits, nbits: int, c: int, G: int):
 
     # fold groups: (W, G, B, ...) -> (W, B, ...) (suffix over G, take 0)
     bk = tuple(a.reshape((W, G, B) + a.shape[1:]) for a in buckets)
-    bk = _suffix_sums(f, bk, G, axis=1)
+    bk = _suffix_sums(f, bk, G, axis=1, add_fn=add_fn)
     bk = tuple(a[:, 0] for a in bk)       # (W, B, ...)
 
     # per window: sum_j j*B_j = sum of suffix sums of buckets 1..B-1
     tail = tuple(a[:, 1:] for a in bk)    # (W, B-1, ...)
-    suf = _suffix_sums(f, tail, B - 1, axis=1)
-    tot = _suffix_sums(f, suf, B - 1, axis=1)
+    suf = _suffix_sums(f, tail, B - 1, axis=1, add_fn=add_fn)
+    tot = _suffix_sums(f, suf, B - 1, axis=1, add_fn=add_fn)
     tot = tuple(a[:, 0] for a in tot)     # (W, ...) per-window sums
 
     # Horner over windows: R = 2^c * R + T_w, from the top window down.
     # fori_loops keep the graph at one double + one add instantiation.
     def win_body(i, R):
-        R = jax.lax.fori_loop(0, c, lambda _, S: jac_double(f, S), R)
-        Tw = tuple(a[W - 1 - i] for a in tot)
-        return jac_add(f, R, Tw)
+        R = jax.lax.fori_loop(0, c, lambda _, S: double_fn(f, S), R)
+        Tw = tuple(a[W - 1 - i][None] for a in tot)
+        return add_fn(f, R, Tw)
 
-    R0 = tuple(match_vma(a, x) for a in jac_inf(f, ()))
-    return jax.lax.fori_loop(0, W, win_body, R0)
+    R0 = tuple(match_vma(a, x) for a in jac_inf(f, (1,)))
+    R = jax.lax.fori_loop(0, W, win_body, R0)
+    return tuple(a[0] for a in R)
 
 
 def msm(f, points, scalars, nbits: int, c: int | None = None,
