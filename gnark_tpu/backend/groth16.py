@@ -60,6 +60,17 @@ def _next_pow2(n: int) -> int:
 
 
 @dataclasses.dataclass
+class CommitmentKey:
+    """Pedersen key for one BSB22 commitment
+    (reference: gnark-crypto pedersen.ProvingKey/VerifyingKey,
+    wired by backend/groth16/bn254/setup.go:279-287)."""
+    wires: tuple          # committed (private) wire ids
+    basis: list           # host G1 points, one per committed wire
+    basis_exp_sigma: list # sigma * basis
+    g2_sigma: tuple       # sigma * g2 (verifier side)
+
+
+@dataclasses.dataclass
 class ProvingKey:
     curve: curves_mod.Curve
     domain_n: int
@@ -75,12 +86,13 @@ class ProvingKey:
     g1_delta: tuple
     g2_beta: tuple
     g2_delta: tuple
+    commitment_keys: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
 class VerifyingKey:
     curve: curves_mod.Curve
-    g1_k: list           # host affine points, per public wire
+    g1_k: list           # host affine points: publics then commitment wires
     g2_gamma_neg: tuple
     g2_delta_neg: tuple
     e_alpha_beta: tuple  # GT element (precomputed pairing)
@@ -89,6 +101,7 @@ class VerifyingKey:
     g2_beta: tuple
     g2_gamma: tuple
     g2_delta: tuple
+    commitment_g2_sigma: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -96,6 +109,22 @@ class Proof:
     ar: tuple            # G1 affine (host ints)
     krs: tuple           # G1 affine
     bs: tuple            # G2 affine
+    commitments: list = dataclasses.field(default_factory=list)
+    poks: list = dataclasses.field(default_factory=list)
+
+
+def _hash_to_field(curve, point) -> int:
+    """Commitment wire value from a commitment point (our dst; the
+    reference uses hash_to_field with "BSB22-Plonk"/Groth16 dst)."""
+    import hashlib
+    h = hashlib.sha256(b"BSB22-Groth16-gnark-tpu")
+    nb = -(-curve.fp.modulus.bit_length() // 8)
+    if point is host.INF:
+        h.update(b"\x00" * (2 * nb))
+    else:
+        h.update(point[0].to_bytes(nb, "big"))
+        h.update(point[1].to_bytes(nb, "big"))
+    return int.from_bytes(h.digest(), "big") % curve.fr.modulus
 
 
 def _encode_affine_host(ff, pts):
@@ -182,14 +211,40 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
             C[wire] = (C[wire] + coeff * L) % q
         L = L * w % q * tw[j] % q * tw_inv[j + 1] % q
 
-    # K columns: (beta*A + alpha*B + C) * gamma^-1 (public) / delta^-1
+    # K columns: (beta*A + alpha*B + C) * gamma^-1 (public, commitment
+    # wires, committed wires) / delta^-1 (other private). Commitment
+    # wires verify like publics; committed wires form the Pedersen
+    # bases (setup.go:140-178 commitment handling).
+    committed = {}           # wire -> commitment index
+    cm_wires = {}            # commitment wire -> commitment index
+    for ci, cm in enumerate(cs.commitments):
+        for wid in cm.committed_wires:
+            if wid < nb_pub:
+                raise NotImplementedError(
+                    "committing public wires is not supported yet")
+            committed[wid] = ci
+        cm_wires[cm.commitment_wire] = ci
+    kv_all = [(beta * A[i] + alpha * B[i] + C[i]) % q
+              for i in range(nb_wires)]
     vkK, pkK = [], []
     for i in range(nb_wires):
-        kv = (beta * A[i] + alpha * B[i] + C[i]) % q
         if i < nb_pub:
-            vkK.append(kv * gamma_inv % q)
+            vkK.append(kv_all[i] * gamma_inv % q)
+        elif i in cm_wires or i in committed:
+            pkK.append(0)     # infinity: excluded from the Krs MSM
         else:
-            pkK.append(kv * delta_inv % q)
+            pkK.append(kv_all[i] * delta_inv % q)
+    # commitment-wire K points go to the vk (verifier recomputes values)
+    vkK += [kv_all[cm.commitment_wire] * gamma_inv % q
+            for cm in cs.commitments]
+    # Pedersen bases in COMMITTED-WIRE ORDER (the prover pairs the hint
+    # input values positionally with the basis)
+    ckK = [[kv_all[w] * gamma_inv % q for w in cm.committed_wires]
+           for cm in cs.commitments]
+    sigmas = [rnd(q) or 1 for _ in cs.commitments]
+    ck_scalars = []
+    for ci, scal in enumerate(ckK):
+        ck_scalars += scal + [s * sigmas[ci] % q for s in scal]
 
     # Z column: (t^N - 1) * delta^-1 * t^i
     zdt = (pow(t, N, q) - 1) * delta_inv % q
@@ -201,7 +256,7 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
     # one G1 batch scalar mul: [alpha, beta, delta] + A + B + Z + vkK + pkK
     ffp = get_ff(curve.fp.name)
     ffr = get_ff(curve.fr.name)
-    g1_scalars = [alpha, beta, delta] + A + B + Z + vkK + pkK
+    g1_scalars = [alpha, beta, delta] + A + B + Z + vkK + pkK + ck_scalars
     pts = _decode_affine(ffp, jac_to_affine(ffp, batch_scalar_mul(
         ffp, _g1_base(ffp, curve), curve.fr.bits,
         _scalar_limbs(ffr, g1_scalars))))
@@ -210,17 +265,32 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
     g1_A = pts[off:off + nb_wires]; off += nb_wires
     g1_B = pts[off:off + nb_wires]; off += nb_wires
     g1_Z = pts[off:off + N]; off += N
-    g1_vkK = pts[off:off + nb_pub]; off += nb_pub
-    g1_pkK = pts[off:]
+    nb_vk = nb_pub + len(cs.commitments)
+    g1_vkK = pts[off:off + nb_vk]; off += nb_vk
+    g1_pkK = pts[off:off + nb_wires - nb_pub]; off += nb_wires - nb_pub
+    g1_ck = pts[off:]
 
-    # one G2 batch: [beta, delta, gamma] + B
+    # one G2 batch: [beta, delta, gamma, sigmas...] + B
     ff2 = _g2_field(curve)
-    g2_scalars = [beta, delta, gamma] + B
+    g2_scalars = [beta, delta, gamma] + sigmas + B
     pts2 = _decode_affine(ff2, jac_to_affine(ff2, batch_scalar_mul(
         ff2, _g2_base(ff2, curve), curve.fr.bits,
         _scalar_limbs(ffr, g2_scalars))))
     g2_beta, g2_delta, g2_gamma = pts2[0], pts2[1], pts2[2]
-    g2_B = pts2[3:]
+    g2_sigmas = pts2[3:3 + len(sigmas)]
+    g2_B = pts2[3 + len(sigmas):]
+
+    # assemble per-commitment Pedersen keys
+    commitment_keys = []
+    off_ck = 0
+    for ci, cm in enumerate(cs.commitments):
+        nb = len(ckK[ci])
+        basis = g1_ck[off_ck:off_ck + nb]
+        basis_sig = g1_ck[off_ck + nb:off_ck + 2 * nb]
+        off_ck += 2 * nb
+        commitment_keys.append(CommitmentKey(
+            wires=cm.committed_wires, basis=basis,
+            basis_exp_sigma=basis_sig, g2_sigma=g2_sigmas[ci]))
 
     f2h = curve.host_g2_field
     pk = ProvingKey(
@@ -232,6 +302,7 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
         g2_b=_encode_affine_host(ff2, g2_B),
         g1_alpha=g1_alpha, g1_beta=g1_beta, g1_delta=g1_delta,
         g2_beta=g2_beta, g2_delta=g2_delta,
+        commitment_keys=commitment_keys,
     )
     pairing = get_pairing(curve_name)
     vk = VerifyingKey(
@@ -241,6 +312,7 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
         e_alpha_beta=pairing.pair(g1_alpha, g2_beta),
         g1_alpha=g1_alpha, g2_beta=g2_beta, g2_gamma=g2_gamma,
         g2_delta=g2_delta,
+        commitment_g2_sigma=[k.g2_sigma for k in commitment_keys],
     )
     return pk, vk
 
@@ -266,7 +338,27 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     rnd = rng.randrange if rng is not None else \
         (lambda n: secrets.randbelow(n))
 
-    sol = solve(cs, public, secret, hint_overrides=hint_overrides)
+    # BSB22: override the commitment hint so the commitment wire value
+    # binds to the real Pedersen commitment (prove.go:72-99)
+    commitments = []
+    poks = []
+    f1 = curve.host_fp
+    overrides = dict(hint_overrides or {})
+    if pk.commitment_keys:
+        ck_iter = iter(pk.commitment_keys)
+
+        def _bsb22_override(qq, inputs):
+            key = next(ck_iter)
+            vals = [v % qq for v in inputs]
+            C = host.ec_msm(f1, key.basis, vals)
+            pok = host.ec_msm(f1, key.basis_exp_sigma, vals)
+            commitments.append(C)
+            poks.append(pok)
+            return [_hash_to_field(curve, C)]
+
+        overrides["bsb22"] = _bsb22_override
+
+    sol = solve(cs, public, secret, hint_overrides=overrides)
     N = pk.domain_n
     ffr = get_ff(curve.fr.name)
     ffp = get_ff(curve.fp.name)
@@ -306,7 +398,7 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     krs_m = _decode_affine(ffp, jac_to_affine(ffp, _tup1(krs_j)))[0]
 
     # --- host combination (tiny) ---
-    f1, f2h = curve.host_fp, curve.host_g2_field
+    f2h = curve.host_g2_field
     r, s = rnd(q), rnd(q)
     ar = host.ec_add(f1, host.ec_add(f1, ar_m, pk.g1_alpha),
                      host.ec_mul(f1, pk.g1_delta, r))
@@ -318,7 +410,7 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     krs = host.ec_add(f1, krs, host.ec_mul(f1, pk.g1_delta, (-r * s) % q))
     krs = host.ec_add(f1, krs, host.ec_mul(f1, ar, s))
     krs = host.ec_add(f1, krs, host.ec_mul(f1, bs1, r))
-    return Proof(ar=ar, krs=krs, bs=bs)
+    return Proof(ar=ar, krs=krs, bs=bs, commitments=commitments, poks=poks)
 
 
 def _tup1(P):
@@ -333,18 +425,37 @@ def _tup1(P):
 def verify(proof: Proof, vk: VerifyingKey, public_values) -> bool:
     """e(Ar, Bs) == e(alpha, beta) * e(kSum, gamma) * e(Krs, delta),
     checked as FE(ML(Krs,-d)*ML(Ar,Bs)*ML(kSum,-g)) == vk.e
-    (verify.go:70-143)."""
+    (verify.go:70-143); commitment-wire values recomputed from the
+    proof's Pedersen commitments, PoKs pairing-checked."""
     curve = vk.curve
     q = curve.fr.modulus
-    if len(public_values) != len(vk.g1_k) - 1:
+    nb_cm = len(vk.commitment_g2_sigma)
+    if len(proof.commitments) != nb_cm or len(proof.poks) != nb_cm:
+        return False
+    if len(public_values) != len(vk.g1_k) - 1 - nb_cm:
         raise ValueError(
-            f"want {len(vk.g1_k) - 1} public values, got {len(public_values)}")
+            f"want {len(vk.g1_k) - 1 - nb_cm} public values, "
+            f"got {len(public_values)}")
     f1 = curve.host_fp
+    # recompute commitment wire values and extend the public vector
+    extended = [v % q for v in public_values] +         [_hash_to_field(curve, C) for C in proof.commitments]
     ksum = vk.g1_k[0]
-    for v, pt in zip(public_values, vk.g1_k[1:]):
+    for v, pt in zip(extended, vk.g1_k[1:]):
         ksum = host.ec_add(f1, ksum, host.ec_mul(f1, pt, v % q))
+    for C in proof.commitments:
+        ksum = host.ec_add(f1, ksum, C)
 
     pairing = get_pairing(curve.name)
+    f2h = curve.host_g2_field
+    # Pedersen PoKs: e(pok, g2) == e(C, sigma*g2)
+    for C, pok, g2s in zip(proof.commitments, proof.poks,
+                           vk.commitment_g2_sigma):
+        chk = pairing.pairing_product([
+            (pok, host.ec_neg(f2h, curve.g2)),
+            (C, g2s),
+        ])
+        if not pairing.ext.eq(chk, pairing.gt_one()):
+            return False
     res = pairing.pairing_product([
         (proof.krs, vk.g2_delta_neg),
         (proof.ar, proof.bs),

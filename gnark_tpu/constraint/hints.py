@@ -56,6 +56,21 @@ def _is_zero(q, inputs):
     return [1 if x == 0 else 0, 0 if x == 0 else pow(x, -1, q)]
 
 
+@register_hint("bsb22")
+def _bsb22(q, inputs):
+    """Default commitment-wire hint: deterministic stand-in used by the
+    test engine and bare solving (sha256 of the committed values). The
+    Groth16 prover OVERRIDES this with hash-to-field of the real
+    Pedersen commitment (reference: backend/groth16/bn254/prove.go:72-99
+    solver override of the Bsb22 hint)."""
+    import hashlib
+    h = hashlib.sha256(b"bsb22-default")
+    nb = -(-q.bit_length() // 8)
+    for v in inputs:
+        h.update((v % q).to_bytes(nb, "big"))
+    return [int.from_bytes(h.digest(), "big") % q]
+
+
 @register_hint("div")
 def _div(q, inputs):
     """a/b with 0/0 = 0 (DivUnchecked semantics)."""

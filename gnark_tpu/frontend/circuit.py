@@ -125,6 +125,10 @@ def compile_circuit(circuit: Circuit, field: FieldParams,
     _walk(circuit, "public", alloc_public)
     _walk(circuit, "secret", alloc_secret)
     circuit.define(builder)
+    # deferred callbacks (reference frontend/compile.go:166 callDeferred)
+    while getattr(builder, "deferred", None):
+        fn = builder.deferred.pop(0)
+        fn(builder)
     return builder.cs
 
 

@@ -26,6 +26,12 @@ class R1CSBuilder:
         self.cs = ConstraintSystem(field, "r1cs")
         self.q = field.modulus
         self._booleans: set = set()
+        self.deferred: list = []    # post-define callbacks (circuitdefer)
+
+    def defer_(self, fn) -> None:
+        """Run fn(builder) after define() returns (reference
+        internal/circuitdefer; used by lookups/multicommit)."""
+        self.deferred.append(fn)
 
     # ------------------------------------------------------------------
     # compiler surface (reference frontend/builder.go Compiler iface)
@@ -361,6 +367,32 @@ class R1CSBuilder:
                 p = self.mul(p, vbits[i])
             else:
                 self.assert_is_equal(self.mul(p, vbits[i]), 0)
+
+    # ------------------------------------------------------------------
+    # commitments (reference frontend.Committer / builder.go:130-169)
+    # ------------------------------------------------------------------
+
+    def commit(self, *values) -> Variable:
+        """BSB22 in-circuit commitment: returns a variable whose value
+        is unpredictable to the prover (bound to a Pedersen commitment
+        of the committed wires by the Groth16 backend)."""
+        from gnark_tpu.constraint.system import Commitment
+        wires = []
+        for v in values:
+            lv = self._lc(v)
+            if len(lv) == 1 and lv[0][0] == 1 and lv[0][1] != 0:
+                wires.append(lv[0][1])
+            else:
+                # materialize the linear combination into a wire
+                o = self.cs.new_internal_wire()
+                self._add_r1c(lv, lc_const(self.q, 1), lc_single(o), o)
+                wires.append(o)
+        cvar = self.new_hint("bsb22", 1,
+                             *[Variable(lc_single(w)) for w in wires])[0]
+        self.cs.commitments.append(Commitment(
+            committed_wires=tuple(wires),
+            commitment_wire=cvar.e[0][1], hint_name="bsb22"))
+        return cvar
 
     # ------------------------------------------------------------------
     # debug

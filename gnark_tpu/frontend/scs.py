@@ -36,6 +36,33 @@ class SCSBuilder:
         self.q = field.modulus
         self._booleans: set = set()
         self._cse: dict = {}
+        self.deferred: list = []    # post-define callbacks (circuitdefer)
+
+    def defer_(self, fn) -> None:
+        self.deferred.append(fn)
+
+    def commit(self, *values):
+        """BSB22 commitment (PLONK wiring lands with Qcp support; the
+        SCS builder records metadata the same way)."""
+        from gnark_tpu.constraint.system import Commitment
+        wires = []
+        for v in values:
+            t = self._t(v)
+            if not t.is_const and t.c == 1 and t.k == 0:
+                wires.append(t.w)
+            else:
+                # materialize: c*w + k - w2 == 0
+                w2 = self.cs.new_internal_wire()
+                xa = t.w if not t.is_const else 0
+                self._gate(xa, xa, w2, t.c if not t.is_const else 0,
+                           0, self.q - 1, 0, t.k, solve_wire=w2)
+                wires.append(w2)
+        cvar = self.new_hint("bsb22", 1,
+                             *[Term(1, w, 0) for w in wires])[0]
+        self.cs.commitments.append(Commitment(
+            committed_wires=tuple(wires),
+            commitment_wire=cvar.w, hint_name="bsb22"))
+        return cvar
 
     # -- compiler surface ---------------------------------------------------
 

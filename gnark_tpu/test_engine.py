@@ -24,6 +24,7 @@ class TestEngine:
         self.q = field.modulus
         self._field = field
         self._hints = hint_overrides or {}
+        self._deferred: list = []
 
     # -- compiler surface ----------------------------------------------
 
@@ -49,6 +50,19 @@ class TestEngine:
         if len(outs) != n_outputs:
             raise EngineError(f"hint {name}: bad output arity")
         return [o % self.q for o in outs]
+
+    def commit(self, *values):
+        """Commitment challenge: deterministic stand-in (the real
+        prover binds it to a Pedersen point; reference engine.go uses
+        a PRNG value)."""
+        return self.new_hint("bsb22", 1, *values)[0]
+
+    def defer_(self, fn) -> None:
+        self._deferred.append(fn)
+
+    def run_deferred(self) -> None:
+        while self._deferred:
+            self._deferred.pop(0)(self)
 
     # -- arithmetic -------------------------------------------------------
 
@@ -176,7 +190,9 @@ def is_solved(circuit, field: FieldParams,
     """Run define() over the assigned values; True iff no assertion
     fails (reference test/engine.go IsSolved)."""
     try:
-        circuit.define(TestEngine(field, hint_overrides))
+        eng = TestEngine(field, hint_overrides)
+        circuit.define(eng)
+        eng.run_deferred()
         return True
     except (EngineError, ZeroDivisionError, ValueError):
         return False

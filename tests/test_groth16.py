@@ -73,3 +73,61 @@ def test_groth16_with_hints():
     proof = groth16.prove(cs, pk, pub, sec, rng=rng)
     assert groth16.verify(proof, vk, pub)
     assert not groth16.verify(proof, vk, [0x8])
+
+
+class CommitCircuit(Circuit):
+    """BSB22 commitment: challenge-style usage (reference
+    std/multicommit pattern)."""
+    x: Secret
+    y: Public
+
+    def define(self, api):
+        x2 = api.mul(self.x, self.x)
+        c = api.commit(self.x, x2)
+        # use the challenge: assert c*(x - y) == c*x - c*y (trivially
+        # true) plus bind y = x^2 so the circuit is meaningful
+        api.assert_is_equal(x2, self.y)
+        t = api.mul(c, api.sub(self.x, self.y))
+        api.assert_is_equal(t, api.sub(api.mul(c, self.x),
+                                       api.mul(c, self.y)))
+
+
+def test_groth16_commitment():
+    cs = compile_circuit(CommitCircuit(), fields.BN254_FR)
+    assert len(cs.commitments) == 1
+    rng = random.Random(9)
+    pk, vk = groth16.setup(cs, "bn254", rng=rng)
+    pub, sec = witness(CommitCircuit(x=6, y=36), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=rng)
+    assert len(proof.commitments) == 1
+    assert groth16.verify(proof, vk, pub)
+    assert not groth16.verify(proof, vk, [35])
+    # tampered commitment point must fail (PoK or equation)
+    bad = groth16.Proof(ar=proof.ar, krs=proof.krs, bs=proof.bs,
+                        commitments=[proof.poks[0]], poks=proof.poks)
+    assert not groth16.verify(bad, vk, pub)
+
+
+def test_groth16_lookup_commitment():
+    """Regression: Pedersen basis must pair with committed values in
+    committed_wires ORDER (not wire-id order) — lookup circuits commit
+    wires out of allocation order."""
+    from gnark_tpu.std.lookup import Table
+    SBOX = [((7 * i + 3) ** 2) % 251 for i in range(16)]
+
+    class LookupCircuit(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            t = Table(api)
+            for v in SBOX:
+                t.insert(v)
+            api.assert_is_equal(t.lookup(self.x)[0], self.y)
+
+    cs = compile_circuit(LookupCircuit(), fields.BN254_FR)
+    pk, vk = groth16.setup(cs, "bn254", rng=random.Random(5))
+    pub, sec = witness(LookupCircuit(x=9, y=SBOX[9]), cs)
+    proof = groth16.prove(cs, pk, pub, sec)
+    assert groth16.verify(proof, vk, pub)
+    assert not groth16.verify(proof, vk, [SBOX[8]])
