@@ -149,19 +149,34 @@ def _msm_kernel(f, points, digits, nbits: int, c: int, G: int):
 
     xs = (idx, grp(x), grp(y), grp(inf))
 
-    buckets = tuple(match_vma(a, x) for a in jac_inf(f, (W * G * B,)))
+    # pack X|Y|Z along the last axis so the per-step bucket access is
+    # ONE gather + ONE scatter (row DMAs dominate the scan cost)
+    inf0 = tuple(match_vma(a, x) for a in jac_inf(f, (W * G * B,)))
+    flat_dims = inf0[0].ndim - 1
+    def pack(t):
+        return jnp.concatenate(
+            [a.reshape(a.shape[0], -1) for a in t], axis=-1)
+    coord_sz = inf0[0].reshape(inf0[0].shape[0], -1).shape[-1]
+    coord_shape = inf0[0].shape[1:]
+    buckets = pack(inf0)
+
+    def unpack(p, lead):
+        return tuple(
+            p[..., i * coord_sz:(i + 1) * coord_sz].reshape(
+                lead + coord_shape) for i in range(3))
 
     def body(bk, step):
         ix, px, py, pinf = step
-        cur = tuple(a[ix] for a in bk)
+        cur = unpack(bk[ix], (W * G,))
         # broadcast the G points across W windows -> width W*G
         tile = lambda a: jnp.broadcast_to(
             a[None], (W,) + a.shape).reshape((W * G,) + a.shape[1:])
         new = add_mixed_fn(f, cur, (tile(px), tile(py), tile(pinf)))
-        bk = tuple(a.at[ix].set(v) for a, v in zip(bk, new))
+        bk = bk.at[ix].set(pack(new))
         return bk, None
 
     buckets, _ = jax.lax.scan(body, buckets, xs)
+    buckets = unpack(buckets, (W * G * B,))
 
     # fold groups: (W, G, B, ...) -> (W, B, ...) (suffix over G, take 0)
     bk = tuple(a.reshape((W, G, B) + a.shape[1:]) for a in buckets)

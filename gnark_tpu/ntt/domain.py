@@ -33,9 +33,26 @@ def _bit_reverse_perm(n: int) -> np.ndarray:
     return rev
 
 
+def _mul_fn(ff: FF):
+    """Stage-multiply: fused Pallas kernel on TPU (the scan-based mul is
+    loop-overhead-bound there), portable jnp otherwise."""
+    from gnark_tpu import config
+    if config.use_pallas():
+        from gnark_tpu.ff.pallas_ops import mul_p
+
+        def mul(a, b):
+            shp = a.shape
+            return mul_p(ff, a.reshape(-1, ff.n),
+                         jnp.broadcast_to(b, shp).reshape(-1, ff.n)
+                         ).reshape(shp)
+        return mul
+    return ff.mul
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def _ntt_kernel(ff: FF, x, rev, stage_tw):
     """Core transform. stage_tw: tuple of (2^s-half,) twiddle arrays."""
+    mul = _mul_fn(ff)
     n = x.shape[0]
     y = x[rev]
     for s, tw in enumerate(stage_tw, start=1):
@@ -43,14 +60,14 @@ def _ntt_kernel(ff: FF, x, rev, stage_tw):
         half = m >> 1
         y = y.reshape(n // m, m, ff.n)
         even = y[:, :half]
-        odd = ff.mul(y[:, half:], tw)
+        odd = mul(y[:, half:], tw)
         y = jnp.concatenate([ff.add(even, odd), ff.sub(even, odd)], axis=1)
     return y.reshape(n, ff.n)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _scale(ff: FF, x, sc):
-    return ff.mul(x, sc)
+    return _mul_fn(ff)(x, sc)
 
 
 class Domain:
