@@ -1,0 +1,71 @@
+"""In-circuit fiat-shamir, conversions, multicommit tests."""
+
+from gnark_tpu import fields
+from gnark_tpu.constraint import solve
+from gnark_tpu.frontend import Circuit, Public, Secret, compile_circuit, witness
+from gnark_tpu.std import conversion, multicommit
+from gnark_tpu.std.fiatshamir import Transcript
+from gnark_tpu.std.hash.mimc import MiMC
+from gnark_tpu.test_engine import TestEngine, is_solved
+
+F = fields.BN254_FR
+
+
+def test_fiatshamir_matches_host_mimc():
+    """Engine-evaluated transcript must equal the host MiMC recipe."""
+    api = TestEngine(F)
+    ts = Transcript(api, ["alpha", "beta"])
+    ts.bind("alpha", 11, 22)
+    a = ts.compute_challenge("alpha")
+    ts.bind("beta", 33)
+    b = ts.compute_challenge("beta")
+
+    h = MiMC().write(int.from_bytes(b"alpha", "big"), 11, 22)
+    assert a == h.sum()
+    h2 = MiMC().write(int.from_bytes(b"beta", "big"), a, 33)
+    assert b == h2.sum()
+
+
+class BytesCircuit(Circuit):
+    x: Secret
+    b0: Public
+
+    def define(self, api):
+        bts = conversion.to_bytes(api, self.x, 4)
+        api.assert_is_equal(bts[0], self.b0)      # most significant byte
+        api.assert_is_equal(conversion.from_bytes(api, bts), self.x)
+
+
+def test_conversion_bytes():
+    x = 0xDEADBEEF
+    assert is_solved(BytesCircuit(x=x, b0=0xDE), F)
+    assert not is_solved(BytesCircuit(x=x, b0=0xAD), F)
+    cs = compile_circuit(BytesCircuit(), F)
+    pub, sec = witness(BytesCircuit(x=x, b0=0xDE), cs)
+    solve(cs, pub, sec)
+
+
+class MultiCommitCircuit(Circuit):
+    x: Secret
+
+    def define(self, api):
+        got = []
+
+        def cb1(api_, ch):
+            got.append(ch)
+            api_.assert_is_different(ch, 0)
+
+        def cb2(api_, ch):
+            got.append(ch)
+            api_.assert_is_different(ch, 0)
+
+        multicommit.with_commitment(api, cb1, self.x)
+        multicommit.with_commitment(api, cb2, api.mul(self.x, self.x))
+
+
+def test_multicommit():
+    assert is_solved(MultiCommitCircuit(x=5), F)
+    cs = compile_circuit(MultiCommitCircuit(), F)
+    assert len(cs.commitments) == 1   # one commitment, many challenges
+    pub, sec = witness(MultiCommitCircuit(x=5), cs)
+    solve(cs, pub, sec)
