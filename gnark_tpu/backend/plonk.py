@@ -167,6 +167,10 @@ class _Ntt:
 
 def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
     assert cs.kind == "scs", "plonk needs an SCS (PLONKish) circuit"
+    if cs.commitments:
+        raise NotImplementedError(
+            "PLONK BSB22 commitments (Qcp columns) are not wired yet — "
+            "use Groth16 for commitment circuits, or drop api.commit")
     curve = srs.curve
     q = curve.fr.modulus
     assert q == cs.q

@@ -19,6 +19,26 @@ from gnark_tpu.frontend.variable import (
 )
 
 
+import os
+import traceback
+
+
+def _debug_enabled() -> bool:
+    """Attach source locations to assertion constraints when set
+    (reference `debug` build tag; costs a stack walk per assert)."""
+    return os.environ.get("GNARK_TPU_DEBUG") == "1"
+
+
+def _caller_location() -> str:
+    for f in reversed(traceback.extract_stack()):
+        fn = f.filename
+        if "gnark_tpu/frontend" in fn or "gnark_tpu/std" in fn \
+                or fn.endswith("profile.py"):
+            continue
+        return f"{fn.rsplit('/', 1)[-1]}:{f.lineno} in {f.name}"
+    return "?"
+
+
 class R1CSBuilder:
     """Builds a ConstraintSystem(kind='r1cs') while serving the API."""
 
@@ -73,6 +93,8 @@ class R1CSBuilder:
     def _add_r1c(self, l, r, o, solved_wire: int | None, debug=None):
         from gnark_tpu import profile
         profile.record_constraint()
+        if debug is None and solved_wire is None and _debug_enabled():
+            debug = _caller_location()
         cidx = len(self.cs.r1cs)
         self.cs.r1cs.append(R1C(l, r, o))
         ins = set(lc_wires(l)) | set(lc_wires(r)) | set(lc_wires(o))

@@ -25,10 +25,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compile cache: EC/MSM kernels are compile-heavy; reuse
-# XLA executables across test processes and sessions.
-os.makedirs("/root/.cache/gnark_tpu_xla", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/gnark_tpu_xla")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: no persistent compile cache here — this jax build segfaults
+# inside compilation_cache.put_executable_and_time when serializing
+# some large CPU executables (observed on the MSM kernel). Tests pay
+# the recompiles; the TPU-side bench keeps its own cache dir, which
+# has been stable.
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -5,6 +5,7 @@ reset (config caches are lru_cache'd — clear them around the flag)."""
 
 import random
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
