@@ -18,7 +18,12 @@ import numpy as np
 
 
 def main():
+    import os
+    os.makedirs("/root/.cache/gnark_tpu_xla_tpu", exist_ok=True)
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/gnark_tpu_xla_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from gnark_tpu.ec import curves, host
     from gnark_tpu.ff import get_ff
@@ -50,7 +55,9 @@ def main():
     scalars = jnp.asarray(ffr.encode(ks, mont=False))
 
     nbits = curve.fr.bits
-    c, groups = _pick_params(n, nbits)
+    # pinned (not auto) so the driver-run compile stays ~1 min on the
+    # remote compiler: c=8/G=128 measured 41s compile, ~1.3s steady
+    c, groups = 8, 128
     digits = window_digits(scalars, nbits, c)
 
     fn = jax.jit(lambda p, d: _msm_kernel(ffp, p, d, nbits, c, groups))
