@@ -124,6 +124,11 @@ def _marshal(cs):
         hint_in_off=np.array(hint_in_off or [(0, 0)],
                              dtype=np.uint32).reshape(-1, 2),
         hint_meta=hint_meta,
+        levels_flat=np.array(
+            [i for lvl in cs.levels for i in lvl] or [0], dtype=np.int64),
+        level_off=np.cumsum(
+            [0] + [len(l) for l in cs.levels]).astype(np.uint32),
+        n_levels=len(cs.levels),
     )
     return cs._native_blob
 
@@ -198,6 +203,8 @@ def solve_native(cs, public: list, secret: list,
         m["inst"].ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(len(m["inst"])),
         u32p(m["outputs"]), u32p(m["hint_in_off"]),
+        m["levels_flat"].ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        u32p(m["level_off"]), ctypes.c_int64(m["n_levels"]),
         hint_cb, ctypes.c_int64(nw),
         u64p(values), solved.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         u64p(abc), err, ctypes.c_int64(256))

@@ -10,9 +10,11 @@
 // C ABI, driven from Python via ctypes (no pybind11 in the image).
 // Field-generic for moduli up to 255 bits (4x64 limbs).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <thread>
 #include <vector>
 
 typedef unsigned __int128 u128;
@@ -391,6 +393,7 @@ int gnark_tpu_solve(
     const int64_t *inst, int64_t n_inst,
     const u32 *outputs,
     const u32 *hint_in_off,
+    const int64_t *levels_flat, const u32 *level_off, int64_t n_levels,
     hint_cb_t hint_cb,
     int64_t n_wires,
     u64 *values_io, uint8_t *solved_io,
@@ -437,7 +440,8 @@ int gnark_tpu_solve(
     }
 
     std::vector<u64> hin, hout;
-    for (int64_t ii = 0; ii < n_inst; ii++) {
+    auto run_one = [&](int64_t ii, std::vector<u64> &hin_l,
+                       std::vector<u64> &hout_l) -> bool {
         const int64_t *I = inst + 6 * ii;
         int kind = (int)I[0];
         int64_t cidx = I[1];
@@ -450,6 +454,8 @@ int gnark_tpu_solve(
             int64_t o0 = I[2], o1 = I[3], h0 = I[4], h1 = I[5];
             int32_t n_in = (int32_t)(h1 - h0);
             int32_t n_out = (int32_t)(o1 - o0);
+            std::vector<u64> &hin = hin_l;
+            std::vector<u64> &hout = hout_l;
             hin.assign((size_t)n_in * 4, 0);
             hout.assign((size_t)n_out * 4, 0);
             for (int32_t j = 0; j < n_in; j++) {
@@ -488,9 +494,63 @@ int gnark_tpu_solve(
                 }
             }
         }  // K_LOG ignored natively (python handles logs)
-        if (!ok) {
-            snprintf(err_out, err_len, "%s", st.err);
-            return 1;
+        return ok;
+    };
+
+    // level-parallel execution (reference solver.go:970-1077): hints
+    // run serially on this thread (they call back into Python); the
+    // remaining instructions in a level are independent by
+    // construction (an intra-level dependency would have forced a
+    // higher level) and are split across worker threads.
+    // thread spawn+join costs ~0.1ms per level; only parallelize levels
+    // wide enough to amortize it (a pooled executor is the next step)
+    const int64_t MIN_PAR = 512;
+    unsigned nthreads = std::thread::hardware_concurrency();
+    if (nthreads < 2) nthreads = 2;
+    for (int64_t li = 0; li < n_levels; li++) {
+        u32 s0 = level_off[li], s1 = level_off[li + 1];
+        // hints first (serial)
+        for (u32 s = s0; s < s1; s++) {
+            int64_t ii = levels_flat[s];
+            if ((int)inst[6 * ii] == K_HINT) {
+                if (!run_one(ii, hin, hout)) {
+                    snprintf(err_out, err_len, "%s", st.err);
+                    return 1;
+                }
+            }
+        }
+        int64_t rest = 0;
+        for (u32 s = s0; s < s1; s++)
+            if ((int)inst[6 * levels_flat[s]] != K_HINT) rest++;
+        if (rest < MIN_PAR) {
+            for (u32 s = s0; s < s1; s++) {
+                int64_t ii = levels_flat[s];
+                if ((int)inst[6 * ii] == K_HINT) continue;
+                if (!run_one(ii, hin, hout)) {
+                    snprintf(err_out, err_len, "%s", st.err);
+                    return 1;
+                }
+            }
+        } else {
+            std::atomic<bool> failed(false);
+            std::vector<std::thread> workers;
+            for (unsigned t = 0; t < nthreads; t++) {
+                workers.emplace_back([&, t]() {
+                    std::vector<u64> hin_t, hout_t;
+                    for (u32 s = s0 + t; s < s1; s += nthreads) {
+                        if (failed.load(std::memory_order_relaxed)) return;
+                        int64_t ii = levels_flat[s];
+                        if ((int)inst[6 * ii] == K_HINT) continue;
+                        if (!run_one(ii, hin_t, hout_t))
+                            failed.store(true);
+                    }
+                });
+            }
+            for (auto &w : workers) w.join();
+            if (failed.load()) {
+                snprintf(err_out, err_len, "%s", st.err);
+                return 1;
+            }
         }
     }
 
