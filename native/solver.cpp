@@ -533,19 +533,33 @@ int gnark_tpu_solve(
             }
         } else {
             std::atomic<bool> failed(false);
+            std::atomic<unsigned> spawned(0);
             std::vector<std::thread> workers;
-            for (unsigned t = 0; t < nthreads; t++) {
-                workers.emplace_back([&, t]() {
-                    std::vector<u64> hin_t, hout_t;
-                    for (u32 s = s0 + t; s < s1; s += nthreads) {
-                        if (failed.load(std::memory_order_relaxed)) return;
-                        int64_t ii = levels_flat[s];
-                        if ((int)inst[6 * ii] == K_HINT) continue;
-                        if (!run_one(ii, hin_t, hout_t))
-                            failed.store(true);
-                    }
-                });
+            auto work = [&](unsigned t, unsigned stride) {
+                std::vector<u64> hin_t, hout_t;
+                for (u32 s = s0 + t; s < s1; s += stride) {
+                    if (failed.load(std::memory_order_relaxed)) return;
+                    int64_t ii = levels_flat[s];
+                    if ((int)inst[6 * ii] == K_HINT) continue;
+                    if (!run_one(ii, hin_t, hout_t))
+                        failed.store(true);
+                }
+            };
+            // thread creation can fail under load (container limits,
+            // XLA's own pools) — fall back to running the remaining
+            // stripes on this thread instead of letting the
+            // std::system_error terminate the process.
+            try {
+                for (unsigned t = 1; t < nthreads; t++) {
+                    workers.emplace_back(work, t, nthreads);
+                    spawned++;
+                }
+            } catch (...) {
             }
+            unsigned got = spawned.load();
+            work(0, nthreads);
+            for (unsigned t = got + 1; t < nthreads; t++)
+                work(t, nthreads);   // stripes whose thread never spawned
             for (auto &w : workers) w.join();
             if (failed.load()) {
                 snprintf(err_out, err_len, "%s", st.err);
