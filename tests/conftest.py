@@ -32,3 +32,16 @@ jax.config.update("jax_enable_x64", True)
 # has been stable.
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA's CPU pipeline segfaults sporadically deep into long
+    single-process sessions (observed in cache-write AND in
+    backend_compile after ~100 tests, at varying points). Dropping
+    compiled executables between test modules bounds the accumulation."""
+    yield
+    jax.clear_caches()
