@@ -39,3 +39,30 @@ def is_in_slice(api, x, values):
     for v in values:
         prod = api.mul(prod, api.sub(x, v))
     return api.is_zero(prod)
+
+
+def slice_mask(api, pivot, n: int):
+    """Masks m_i = 1 iff i < pivot, for i in [0, n) (reference
+    std/selector/slice.go building block). Constrains pivot <= n via
+    the indicator sum."""
+    after = 0        # becomes 1 once i == pivot
+    masks = []
+    for i in range(n):
+        eq = api.is_zero(api.sub(pivot, i))
+        after = api.add(after, eq)
+        masks.append(api.sub(1, after))
+    # pivot in [0, n]: either some eq fired or pivot == n
+    eq_n = api.is_zero(api.sub(pivot, n))
+    api.assert_is_equal(api.add(after, eq_n), 1)
+    return masks
+
+
+def slice_sum(api, values, start, end):
+    """Sum of values[start:end] with variable bounds."""
+    n = len(values)
+    m_end = slice_mask(api, end, n)
+    m_start = slice_mask(api, start, n)
+    acc = 0
+    for v, me, ms in zip(values, m_end, m_start):
+        acc = api.add(acc, api.mul(v, api.sub(me, ms)))
+    return acc

@@ -129,3 +129,23 @@ def test_rangecheck():
     cs = compile_circuit(RangeCircuit(), F)
     pub, sec = witness(RangeCircuit(x=999), cs)
     solve(cs, pub, sec)
+
+
+class SliceCircuit(Circuit):
+    pivot: Secret
+    total: Public
+
+    def define(self, api):
+        # sum of values[1:pivot]
+        s = selector.slice_sum(api, [10, 20, 30, 40, 50], 1, self.pivot)
+        api.assert_is_equal(s, self.total)
+
+
+def test_slice_sum():
+    assert is_solved(SliceCircuit(pivot=4, total=20 + 30 + 40), F)
+    assert is_solved(SliceCircuit(pivot=1, total=0), F)
+    assert not is_solved(SliceCircuit(pivot=4, total=0), F)
+    assert not is_solved(SliceCircuit(pivot=6, total=0), F)  # out of range
+    cs = compile_circuit(SliceCircuit(), F)
+    pub, sec = witness(SliceCircuit(pivot=4, total=90), cs)
+    solve(cs, pub, sec)
