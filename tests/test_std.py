@@ -149,3 +149,26 @@ def test_slice_sum():
     cs = compile_circuit(SliceCircuit(), F)
     pub, sec = witness(SliceCircuit(pivot=4, total=90), cs)
     solve(cs, pub, sec)
+
+
+class LogDerivRange(Circuit):
+    xs: list[Secret]
+
+    def __init__(self, n=4, **kw):
+        self.xs = [None] * n
+        super().__init__(**kw)
+
+    def define(self, api):
+        rangecheck.check_many_logderiv(api, self.xs, 4)
+
+
+def test_rangecheck_logderiv():
+    ok = LogDerivRange()
+    ok.xs = [0, 3, 15, 7]
+    assert is_solved(ok, F)
+    cs = compile_circuit(LogDerivRange(), F)
+    pub, sec = witness(ok, cs)
+    solve(cs, pub, sec)
+    bad = LogDerivRange()
+    bad.xs = [0, 3, 16, 7]
+    assert not is_solved(bad, F)
