@@ -29,7 +29,7 @@ import secrets
 import jax.numpy as jnp
 import numpy as np
 
-from gnark_tpu.constraint import ConstraintSystem, solve
+from gnark_tpu.constraint import ConstraintSystem, solve_auto
 from gnark_tpu.ec import curves as curves_mod
 from gnark_tpu.ec import host
 from gnark_tpu.ec.fp2 import FF2, get_ff2
@@ -358,7 +358,7 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
 
         overrides["bsb22"] = _bsb22_override
 
-    sol = solve(cs, public, secret, hint_overrides=overrides)
+    sol = solve_auto(cs, public, secret, hint_overrides=overrides)
     N = pk.domain_n
     ffr = get_ff(curve.fr.name)
     ffp = get_ff(curve.fp.name)
@@ -431,6 +431,14 @@ def verify(proof: Proof, vk: VerifyingKey, public_values) -> bool:
     q = curve.fr.modulus
     nb_cm = len(vk.commitment_g2_sigma)
     if len(proof.commitments) != nb_cm or len(proof.poks) != nb_cm:
+        return False
+    # untrusted-point hardening: on-curve + subgroup for every proof
+    # point before any pairing (gnark enforces this on unmarshal)
+    if not host.validate_points(
+            curve,
+            g1_points=[proof.ar, proof.krs] + list(proof.commitments)
+            + list(proof.poks),
+            g2_points=[proof.bs]):
         return False
     if len(public_values) != len(vk.g1_k) - 1 - nb_cm:
         raise ValueError(

@@ -257,3 +257,55 @@ def find_point(f, b, start_x: int = 0):
         if y is not None and not (f.is_zero(y) and f.is_zero(rhs) is False):
             return (x, y)
         x_int += 1
+
+
+# ---------------------------------------------------------------------------
+# point validation (untrusted input hardening)
+# ---------------------------------------------------------------------------
+
+def validate_point(curve, P, g2: bool = False) -> bool:
+    """Full validation of an untrusted affine point: well-formed coords
+    in [0, p), on-curve, and in the order-r subgroup.
+
+    The reference enforces the same checks on every unmarshal
+    (gnark-crypto SetBytes: on-curve + subgroup, used by
+    backend/groth16/bn254/marshal.go); without them, invalid-curve /
+    wrong-subgroup points reach the verifier pairing equation (forgery
+    surface) or crash the Miller loop at yt = 0.
+    """
+    if P is INF:
+        return True
+    if g2:
+        if curve.g2 is None:
+            return False
+        f = curve.host_g2_field
+        b = curve.b2
+        cofactor = curve.h2
+    else:
+        f = curve.host_fp
+        b = curve.b
+        cofactor = curve.h1
+    if not (isinstance(P, tuple) and len(P) == 2):
+        return False
+    if isinstance(f, Fp2):
+        if not all(isinstance(c, tuple) and len(c) == 2 and
+                   all(isinstance(v, int) and 0 <= v < f.base.p for v in c)
+                   for c in P):
+            return False
+        if not isinstance(b, tuple):
+            b = (b, 0)
+    else:
+        if not all(isinstance(v, int) and 0 <= v < f.p for v in P):
+            return False
+    if not ec_on_curve(f, b, P):
+        return False
+    if cofactor != 1:
+        # subgroup check: r*P == INF (curve.fr is the subgroup order)
+        if ec_mul(f, P, curve.fr.modulus) is not INF:
+            return False
+    return True
+
+
+def validate_points(curve, g1_points=(), g2_points=()) -> bool:
+    return (all(validate_point(curve, P) for P in g1_points) and
+            all(validate_point(curve, P, g2=True) for P in g2_points))

@@ -81,7 +81,7 @@ def _jac_add_t(f: TFF, P, Q):
     x_eq = f.is_zero(H)
     y_eq = f.is_zero(r)
     both = ~inf1 & ~inf2
-    T = X3.shape[1]
+    T = X3.shape[1:]
     R = _jac_sel(f, both & x_eq & y_eq, _jac_double_t(f, X1, Y1, Z1), R)
     R = _jac_sel(f, both & x_eq & ~y_eq,
                  (f.ones(T), f.ones(T), f.zeros(T)), R)
@@ -110,7 +110,7 @@ def _jac_add_mixed_t(f: TFF, P, x2, y2, inf2):
     x_eq = f.is_zero(H)
     y_eq = f.is_zero(r)
     both = ~inf1 & ~inf2
-    T = X3.shape[1]
+    T = X3.shape[1:]
     R = _jac_sel(f, both & x_eq & y_eq, _jac_double_t(f, X1, Y1, Z1), R)
     R = _jac_sel(f, both & x_eq & ~y_eq,
                  (f.ones(T), f.ones(T), f.zeros(T)), R)

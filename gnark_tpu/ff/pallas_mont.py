@@ -91,7 +91,7 @@ class TFF:
         P = jnp.asarray(self.P_col)
         if m > self.n:
             P = jnp.concatenate(
-                [P, jnp.zeros((m - self.n, 1), _DT)], 0)
+                [P, jnp.zeros((m - self.n,) + P.shape[1:], _DT)], 0)
         d, borrow = self._sub_borrow(a, P)
         keep = (borrow != 0)[None]
         return jnp.where(keep, a, d)[: self.n]
@@ -162,8 +162,12 @@ class TFF:
         """cond: (T,) bool."""
         return jnp.where(cond[None], a, b)
 
-    def zeros(self, T: int):
-        return jnp.zeros((self.n, T), _DT)
+    def zeros(self, T):
+        T = (T,) if isinstance(T, int) else tuple(T)
+        return jnp.zeros((self.n,) + T, _DT)
 
-    def ones(self, T: int):
-        return jnp.broadcast_to(jnp.asarray(self.one_col), (self.n, T))
+    def ones(self, T):
+        T = (T,) if isinstance(T, int) else tuple(T)
+        one = jnp.asarray(self.one_col).reshape(
+            (self.n,) + (1,) * len(T))
+        return jnp.broadcast_to(one, (self.n,) + T)

@@ -210,6 +210,12 @@ class R1CSBuilder:
         # sum 2^i b_i == a
         terms = [lc_scale(self.q, b.e, 1 << i) for i, b in enumerate(bits)]
         self._add_r1c(lc_merge(self.q, *terms), lc_const(self.q, 1), la, None)
+        if nbits >= self.field_bitlen():
+            # 2^nbits > q: without this, v and v+q share a valid
+            # decomposition, letting a malicious prover flip
+            # comparisons (newer gnark comparators pin canonicity the
+            # same way). Constrain bits <= q-1.
+            self._bits_leq_const(bits, self.q - 1)
         return bits
 
     def from_binary(self, bits) -> Variable:
@@ -382,7 +388,12 @@ class R1CSBuilder:
         if bound >= (1 << self.field_bitlen()) - 1:
             return  # always true
         vbits = self.to_binary(v, nbits)  # also asserts v < 2^nbits
-        # AND-chain over bound's zero bits (reference mustBeLessOrEqCst)
+        self._bits_leq_const(vbits, bound)
+
+    def _bits_leq_const(self, vbits, bound: int) -> None:
+        """AND-chain over bound's zero bits
+        (reference mustBeLessOrEqCst): value(vbits) <= bound."""
+        nbits = len(vbits)
         p = Variable(lc_const(self.q, 1))
         for i in range(nbits - 1, -1, -1):
             if (bound >> i) & 1:

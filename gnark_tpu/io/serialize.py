@@ -155,7 +155,9 @@ def _pt_in(d):
 def dump_groth16_proof(proof) -> bytes:
     doc = {"magic": MAGIC, "version": VERSION, "type": "groth16.proof",
            "ar": _pt_out(proof.ar), "krs": _pt_out(proof.krs),
-           "bs": _pt_out(proof.bs)}
+           "bs": _pt_out(proof.bs),
+           "commitments": [_pt_out(p) for p in proof.commitments],
+           "poks": [_pt_out(p) for p in proof.poks]}
     return json.dumps(doc, separators=(",", ":")).encode()
 
 
@@ -164,7 +166,10 @@ def load_groth16_proof(data: bytes):
     doc = json.loads(data)
     assert doc["type"] == "groth16.proof"
     return Proof(ar=_pt_in(doc["ar"]), krs=_pt_in(doc["krs"]),
-                 bs=_pt_in(doc["bs"]))
+                 bs=_pt_in(doc["bs"]),
+                 commitments=[_pt_in(p)
+                              for p in doc.get("commitments", [])],
+                 poks=[_pt_in(p) for p in doc.get("poks", [])])
 
 
 def dump_groth16_vk(vk) -> bytes:
@@ -176,7 +181,9 @@ def dump_groth16_vk(vk) -> bytes:
            "g1_alpha": _pt_out(vk.g1_alpha),
            "g2_beta": _pt_out(vk.g2_beta),
            "g2_gamma": _pt_out(vk.g2_gamma),
-           "g2_delta": _pt_out(vk.g2_delta)}
+           "g2_delta": _pt_out(vk.g2_delta),
+           "commitment_g2_sigma": [_pt_out(p)
+                                   for p in vk.commitment_g2_sigma]}
     return json.dumps(doc, separators=(",", ":")).encode()
 
 
@@ -196,7 +203,9 @@ def load_groth16_vk(data: bytes):
         g2_delta_neg=_pt_in(doc["g2_delta_neg"]),
         e_alpha_beta=pairing.pair(g1_alpha, g2_beta),
         g1_alpha=g1_alpha, g2_beta=g2_beta,
-        g2_gamma=_pt_in(doc["g2_gamma"]), g2_delta=_pt_in(doc["g2_delta"]))
+        g2_gamma=_pt_in(doc["g2_gamma"]), g2_delta=_pt_in(doc["g2_delta"]),
+        commitment_g2_sigma=[_pt_in(p)
+                             for p in doc.get("commitment_g2_sigma", [])])
 
 
 def dump_plonk_proof(proof) -> bytes:
@@ -205,7 +214,8 @@ def dump_plonk_proof(proof) -> bytes:
            "z": _pt_out(proof.z), "h": [_pt_out(p) for p in proof.h],
            "batched_h": _pt_out(proof.batched_h),
            "claimed": [_h(v) for v in proof.claimed],
-           "z_shift_h": _pt_out(proof.z_shift_h), "zu": _h(proof.zu)}
+           "z_shift_h": _pt_out(proof.z_shift_h), "zu": _h(proof.zu),
+           "bsb22": [_pt_out(p) for p in proof.bsb22]}
     return json.dumps(doc, separators=(",", ":")).encode()
 
 
@@ -218,4 +228,5 @@ def load_plonk_proof(data: bytes):
         h=[_pt_in(p) for p in doc["h"]],
         batched_h=_pt_in(doc["batched_h"]),
         claimed=[int(v, 16) for v in doc["claimed"]],
-        z_shift_h=_pt_in(doc["z_shift_h"]), zu=int(doc["zu"], 16))
+        z_shift_h=_pt_in(doc["z_shift_h"]), zu=int(doc["zu"], 16),
+        bsb22=[_pt_in(p) for p in doc.get("bsb22", [])])
