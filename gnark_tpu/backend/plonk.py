@@ -1,4 +1,5 @@
-"""PLONK backend: Setup / Prove / Verify (KZG-based, BSB22-less v0).
+"""PLONK backend: Setup / Prove / Verify (KZG-based, with BSB22
+commitments via Qcp columns).
 
 Protocol-equivalent reimplementation of the reference's per-curve PLONK
 (backend/plonk/bn254/{setup,prove,verify}.go; SURVEY.md §3.4):
@@ -35,7 +36,7 @@ import numpy as np
 
 from gnark_tpu.backend import kzg as kzg_mod
 from gnark_tpu.backend.transcript import Transcript
-from gnark_tpu.constraint import ConstraintSystem, solve
+from gnark_tpu.constraint import ConstraintSystem, solve_auto
 from gnark_tpu.ec import curves as curves_mod
 from gnark_tpu.ec import host
 from gnark_tpu.ff import get_ff
@@ -67,6 +68,20 @@ def _poly_scale(a, k, q):
     return [v * k % q for v in a]
 
 
+def _batch_inv(vals, q):
+    """Montgomery batch inversion: one modular exponentiation total."""
+    n = len(vals)
+    pref = [1] * (n + 1)
+    for i, v in enumerate(vals):
+        pref[i + 1] = pref[i] * v % q
+    inv_all = pow(pref[n], -1, q)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = inv_all * pref[i] % q
+        inv_all = inv_all * vals[i] % q
+    return out
+
+
 def _mul_zh(b, N, q):
     """b(X) * (X^N - 1)."""
     out = [0] * (len(b) + N)
@@ -95,6 +110,10 @@ class PlonkVerifyingKey:
     qk_c: tuple               # incomplete qk commitment
     g2_gen: tuple
     g2_tau: tuple
+    # BSB22 commitments (reference setup.go:57-62): one Qcp selector
+    # digest + the COMMITMENT constraint row index per api.commit
+    qcp_c: list = dataclasses.field(default_factory=list)
+    commitment_rows: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -120,6 +139,7 @@ class PlonkProvingKey:
     s2_vals: list
     s3_vals: list
     perm: list                # full 3N permutation
+    qcp_coeffs: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -128,9 +148,10 @@ class PlonkProof:
     z: tuple                  # commitment to blinded Z
     h: list                   # 3 quotient shard commitments
     batched_h: tuple          # folded opening quotient at zeta
-    claimed: list             # [lin(z), l, r, o, s1, s2]
+    claimed: list             # [lin(z), l, r, o, s1, s2, qcp_i(z)...]
     z_shift_h: tuple          # opening quotient of Z at omega*zeta
     zu: int                   # Z(omega*zeta)
+    bsb22: list = dataclasses.field(default_factory=list)  # pi2 commits
 
 
 # ---------------------------------------------------------------------------
@@ -167,10 +188,6 @@ class _Ntt:
 
 def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
     assert cs.kind == "scs", "plonk needs an SCS (PLONKish) circuit"
-    if cs.commitments:
-        raise NotImplementedError(
-            "PLONK BSB22 commitments (Qcp columns) are not wired yet — "
-            "use Groth16 for commitment circuits, or drop api.commit")
     curve = srs.curve
     q = curve.fr.modulus
     assert q == cs.q
@@ -229,19 +246,34 @@ def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
         ("s1", s1_vals), ("s2", s2_vals), ("s3", s3_vals)]}
     comms = {name: kzg_mod.commit(srs, c) for name, c in coeffs.items()}
 
+    # BSB22 Qcp selector columns: 1 at each COMMITTED row
+    # (reference setup.go:211-218 commitTrace)
+    qcp_coeffs = []
+    qcp_comms = []
+    for cm in cs.commitments:
+        col = [0] * N
+        for row in cm.committed_rows:
+            col[off + row] = 1
+        c = ntt.ifft(col)
+        qcp_coeffs.append(c)
+        qcp_comms.append(kzg_mod.commit(srs, c))
+
     vk = PlonkVerifyingKey(
         curve=curve, size=N, generator=w, coset_shift=u, nb_public=nb_pub,
         s_comm=[comms["s1"], comms["s2"], comms["s3"]],
         ql_c=comms["ql"], qr_c=comms["qr"], qm_c=comms["qm"],
         qo_c=comms["qo"], qk_c=comms["qk"],
-        g2_gen=srs.g2_gen, g2_tau=srs.g2_tau)
+        g2_gen=srs.g2_gen, g2_tau=srs.g2_tau,
+        qcp_c=qcp_comms,
+        commitment_rows=[cm.commitment_row for cm in cs.commitments])
     pk = PlonkProvingKey(
         vk=vk, srs=srs, ql=ql, qr=qr, qm=qm, qo=qo, qk=qk,
         ql_coeffs=coeffs["ql"], qr_coeffs=coeffs["qr"],
         qm_coeffs=coeffs["qm"], qo_coeffs=coeffs["qo"],
         qk_coeffs=coeffs["qk"], s1_coeffs=coeffs["s1"],
         s2_coeffs=coeffs["s2"], s3_coeffs=coeffs["s3"],
-        s1_vals=s1_vals, s2_vals=s2_vals, s3_vals=s3_vals, perm=perm)
+        s1_vals=s1_vals, s2_vals=s2_vals, s3_vals=s3_vals, perm=perm,
+        qcp_coeffs=qcp_coeffs)
     return pk, vk
 
 
@@ -259,12 +291,18 @@ def _bind_public_data(ts: Transcript, vk: PlonkVerifyingKey, publics):
         ts.bind("gamma", ts.point_bytes(pt, p))
     for pt in (vk.ql_c, vk.qr_c, vk.qm_c, vk.qo_c, vk.qk_c):
         ts.bind("gamma", ts.point_bytes(pt, p))
+    for pt in vk.qcp_c:
+        ts.bind("gamma", ts.point_bytes(pt, p))
     for v in publics:
         ts.bind("gamma", ts.fe_bytes(v))
 
 
-def _fold_challenge(vk, digests, zeta, zu) -> int:
-    """KZG batch-fold challenge (gnark kzg.BatchOpenSinglePoint gamma)."""
+def _fold_challenge(vk, digests, zeta, zu, claimed) -> int:
+    """KZG batch-fold challenge (gnark kzg.BatchOpenSinglePoint gamma).
+
+    Binds the claimed evaluation values too, like gnark-crypto's
+    deriveGamma (kzg.go BatchOpenSinglePoint): the Fiat-Shamir
+    transcript must cover everything the verifier consumes."""
     h = hashlib.sha256()
     p = vk.curve.fp.modulus
     ts = Transcript(vk.curve.fr.modulus, ["fold"])
@@ -272,12 +310,27 @@ def _fold_challenge(vk, digests, zeta, zu) -> int:
         h.update(ts.point_bytes(d, p))
     h.update(ts.fe_bytes(zeta))
     h.update(ts.fe_bytes(zu))
+    for v in claimed:
+        h.update(ts.fe_bytes(v))
     return int.from_bytes(h.digest(), "big") % vk.curve.fr.modulus
 
 
 # ---------------------------------------------------------------------------
 # Prove
 # ---------------------------------------------------------------------------
+
+def _h2f_bsb22(curve, point) -> int:
+    """Commitment challenge from a pi2 commitment (reference uses
+    hash_to_field with dst "BSB22-Plonk"; byte convention is ours)."""
+    h = hashlib.sha256(b"BSB22-Plonk")
+    nb = -(-curve.fp.modulus.bit_length() // 8)
+    if point is host.INF:
+        h.update(b"\x00" * (2 * nb))
+    else:
+        h.update(point[0].to_bytes(nb, "big"))
+        h.update(point[1].to_bytes(nb, "big"))
+    return int.from_bytes(h.digest(), "big") % curve.fr.modulus
+
 
 def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
           rng=None, hint_overrides=None) -> PlonkProof:
@@ -289,10 +342,41 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     u = vk.coset_shift
     rnd = rng.randrange if rng is not None else \
         (lambda n: secrets.randbelow(n))
-
-    sol = solve(cs, public, secret, hint_overrides=hint_overrides)
-    values = sol.values
     nb_pub = cs.nb_public
+    ntt = _Ntt(curve.fr, N)
+
+    # BSB22: override the commitment hint so committing REALLY commits
+    # (KZG commit of the pi2 Lagrange column + hash-to-field), like the
+    # reference's bsb22Hint (prove.go:268-311). Called in Define order,
+    # which matches cs.commitments order.
+    bsb22_pts: list = []       # pi2 commitments (host G1)
+    bsb22_vals: list = []      # challenge values
+    pi2_coeffs: list = []      # pi2 canonical coefficients
+
+    def _bsb22_prove_hint(q_, ins):
+        i = len(bsb22_pts)
+        cm = cs.commitments[i]
+        col = [0] * N
+        for row, v in zip(cm.committed_rows, ins):
+            col[nb_pub + row] = v % q
+        # blinding: the COMMITMENT row and the last constraint row have
+        # qcp == 0, so they are free randomizers (prove.go:293-297)
+        col[nb_pub + cm.commitment_row] = rnd(q)
+        col[nb_pub + cs.nb_constraints - 1] = rnd(q)
+        c = ntt.ifft(col)
+        pt = kzg_mod.commit(pk.srs, c)
+        val = _h2f_bsb22(curve, pt)
+        bsb22_pts.append(pt)
+        bsb22_vals.append(val)
+        pi2_coeffs.append(c)
+        return [val]
+
+    overrides = dict(hint_overrides or {})
+    if cs.commitments:
+        overrides["bsb22"] = _bsb22_prove_hint
+
+    sol = solve_auto(cs, public, secret, hint_overrides=overrides)
+    values = sol.values
     publics = values[:nb_pub]
 
     # L, R, O Lagrange vectors (solver.go:150-170 semantics; s0 = values[0])
@@ -306,12 +390,14 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
         R[off + j] = values[con.xb]
         O[off + j] = values[con.xo]
 
-    # complete qk with public inputs (prove.go completeQk)
+    # complete qk with public inputs + commitment challenges
+    # (prove.go completeQk + :369-371)
     qk_complete = list(pk.qk)
     for i in range(nb_pub):
         qk_complete[i] = values[i]
+    for i, cm in enumerate(cs.commitments):
+        qk_complete[nb_pub + cm.commitment_row] = bsb22_vals[i]
 
-    ntt = _Ntt(curve.fr, N)
     l_c = ntt.ifft(L)
     r_c = ntt.ifft(R)
     o_c = ntt.ifft(O)
@@ -343,22 +429,28 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     wpow = [1] * N
     for i in range(1, N):
         wpow[i] = wpow[i - 1] * w % q
-    ratios = []
+    nums = [0] * N
+    dens = [0] * N
     for k in range(N):
-        num = (L[k] + beta * wpow[k] + gamma) % q
-        num = num * ((R[k] + beta * u * wpow[k] + gamma) % q) % q
-        num = num * ((O[k] + beta * u * u % q * wpow[k] + gamma) % q) % q
-        den = (L[k] + beta * pk.s1_vals[k] + gamma) % q
-        den = den * ((R[k] + beta * pk.s2_vals[k] + gamma) % q) % q
-        den = den * ((O[k] + beta * pk.s3_vals[k] + gamma) % q) % q
-        ratios.append(num * pow(den, -1, q) % q)
+        nm = (L[k] + beta * wpow[k] + gamma) % q
+        nm = nm * ((R[k] + beta * u * wpow[k] + gamma) % q) % q
+        nm = nm * ((O[k] + beta * u * u % q * wpow[k] + gamma) % q) % q
+        dn = (L[k] + beta * pk.s1_vals[k] + gamma) % q
+        dn = dn * ((R[k] + beta * pk.s2_vals[k] + gamma) % q) % q
+        dn = dn * ((O[k] + beta * pk.s3_vals[k] + gamma) % q) % q
+        nums[k] = nm
+        dens[k] = dn
+    den_inv = _batch_inv(dens, q)     # Montgomery trick: 1 pow total
     Z = [1] * N
     for k in range(N - 1):
-        Z[k + 1] = Z[k] * ratios[k] % q
+        Z[k + 1] = Z[k] * nums[k] % q * den_inv[k] % q
     z_c = ntt.ifft(Z)
     z_b = blind(z_c, 2)
     c_z = kzg_mod.commit(pk.srs, z_b)
 
+    # alpha binds the Bsb22 commitments then Z (verify.go:107-113)
+    for pt in bsb22_pts:
+        ts.bind("alpha", ts.point_bytes(pt, p_mod))
     ts.bind("alpha", ts.point_bytes(c_z, p_mod))
     alpha = ts.challenge("alpha")
 
@@ -368,52 +460,89 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     ntt4 = _Ntt(curve.fr, N4)
     g = curve.fr.generator % q           # coset generator of domain1
 
+    # device-side numerator: every coset column stays a (N4, K) limb
+    # array in Montgomery form; the gate/ordering/local constraints are
+    # batched FF ops on device (the reference evaluates this with the
+    # ρ-pass loop in prove.go computeNumerator; here XLA fuses the
+    # whole elementwise chain after the 13 coset NTTs)
+    ffr4 = ntt4.ff
+
     def on_coset(coeffs):
-        return ntt4.fft_coset(coeffs)
+        c = list(coeffs) + [0] * (N4 - len(coeffs))
+        v = jnp.asarray(ffr4.encode([v % q for v in c]))
+        return ntt4.dom.fft(v, coset=True)
+
+    def dev_const(v):
+        one = ffr4.encode([v % q])
+        return jnp.broadcast_to(jnp.asarray(one), (N4,) + one.shape[1:])
 
     lx = on_coset(l_b); rx = on_coset(r_b); ox = on_coset(o_b)
     zx = on_coset(z_b)
-    zs_coeffs = [c * pow(w, i, q) % q for i, c in enumerate(z_b)]
+    zs_coeffs = [0] * len(z_b)
+    wp = 1
+    for i, c in enumerate(z_b):       # Z(wX): coeff_i * w^i
+        zs_coeffs[i] = c * wp % q
+        wp = wp * w % q
     zsx = on_coset(zs_coeffs)
     qlx = on_coset(pk.ql_coeffs); qrx = on_coset(pk.qr_coeffs)
     qmx = on_coset(pk.qm_coeffs); qox = on_coset(pk.qo_coeffs)
     qkx = on_coset(qkc_coeffs)
     s1x = on_coset(pk.s1_coeffs); s2x = on_coset(pk.s2_coeffs)
     s3x = on_coset(pk.s3_coeffs)
+    # fold the BSB22 gate terms sum_i qcp_i(x)*pi2_i(x) into qk's
+    # coset evaluations (gate = ql*l+qr*r+qm*l*r+qo*o+qk+sum qcp*pi2)
+    for qcp_c, pi2_c in zip(pk.qcp_coeffs, pi2_coeffs):
+        qkx = ffr4.add(qkx, ffr4.mul(on_coset(qcp_c), on_coset(pi2_c)))
 
     w4 = curve.fr.root_of_unity(N4)
-    # evaluation points x_i = g * w4^i ; ZH(x)^-1 has period N4/N
+    # evaluation points x_i = g * w4^i ; ZH(x) has period N4/N
     period = N4 // N
     gN = pow(g, N, q)
     w4N = pow(w4, N, q)
-    zh_inv4 = [pow((gN * pow(w4N, i, q) - 1) % q, -1, q)
-               for i in range(period)]
-    num = [0] * N4
-    xi = 1
+    zh_vals = [(gN * pow(w4N, i, q) - 1) % q for i in range(period)]
+    zh_inv4 = [pow(v, -1, q) for v in zh_vals]
     alpha2 = alpha * alpha % q
     Ninv = pow(N, -1, q)
+    xs = [0] * N4                      # host: one bigint mul per point
+    xi = g
     for i in range(N4):
-        x = g * xi % q
-        gate = (qlx[i] * lx[i] + qrx[i] * rx[i]
-                + qmx[i] * lx[i] % q * rx[i]
-                + qox[i] * ox[i] + qkx[i]) % q
-        bx = beta * x % q
-        idp = (lx[i] + bx + gamma) % q
-        idp = idp * ((rx[i] + bx * u + gamma) % q) % q
-        idp = idp * ((ox[i] + bx * u % q * u + gamma) % q) % q
-        sp = (lx[i] + beta * s1x[i] + gamma) % q
-        sp = sp * ((rx[i] + beta * s2x[i] + gamma) % q) % q
-        sp = sp * ((ox[i] + beta * s3x[i] + gamma) % q) % q
-        ordering = (sp * zsx[i] - idp * zx[i]) % q
-        # L1(x) = (x^N - 1) / (N (x - 1))
-        zh = (gN * pow(w4N, i % period, q) - 1) % q
-        l1 = zh * Ninv % q * pow((x - 1) % q, -1, q) % q
-        local = l1 * ((zx[i] - 1) % q) % q
-        num[i] = (gate + alpha * ordering + alpha2 * local) % q \
-            * zh_inv4[i % period] % q
+        xs[i] = xi
         xi = xi * w4 % q
+    xd = jnp.asarray(ffr4.encode(xs))
+    zh_d = jnp.asarray(ffr4.encode(
+        [zh_vals[i % period] for i in range(N4)]))
+    zhi_d = jnp.asarray(ffr4.encode(
+        [zh_inv4[i % period] for i in range(N4)]))
 
-    h_coeffs = ntt4.ifft_coset(num)
+    gamma_d = dev_const(gamma)
+    one_d = dev_const(1)
+    gate = ffr4.add(ffr4.mul(qlx, lx), ffr4.mul(qrx, rx))
+    gate = ffr4.add(gate, ffr4.mul(qmx, ffr4.mul(lx, rx)))
+    gate = ffr4.add(gate, ffr4.mul(qox, ox))
+    gate = ffr4.add(gate, qkx)
+    bx = ffr4.mul(dev_const(beta), xd)
+    idp = ffr4.add(ffr4.add(lx, bx), gamma_d)
+    idp = ffr4.mul(idp, ffr4.add(
+        ffr4.add(rx, ffr4.mul(dev_const(u), bx)), gamma_d))
+    idp = ffr4.mul(idp, ffr4.add(
+        ffr4.add(ox, ffr4.mul(dev_const(u * u % q), bx)), gamma_d))
+    beta_d = dev_const(beta)
+    sp = ffr4.add(ffr4.add(lx, ffr4.mul(beta_d, s1x)), gamma_d)
+    sp = ffr4.mul(sp, ffr4.add(
+        ffr4.add(rx, ffr4.mul(beta_d, s2x)), gamma_d))
+    sp = ffr4.mul(sp, ffr4.add(
+        ffr4.add(ox, ffr4.mul(beta_d, s3x)), gamma_d))
+    ordering = ffr4.sub(ffr4.mul(sp, zsx), ffr4.mul(idp, zx))
+    # L1(x) = ZH(x) / (N (x - 1))
+    xm1_inv = ffr4.batch_inv(ffr4.sub(xd, one_d))
+    l1 = ffr4.mul(ffr4.mul(zh_d, dev_const(Ninv)), xm1_inv)
+    local = ffr4.mul(l1, ffr4.sub(zx, one_d))
+    numd = ffr4.add(gate, ffr4.mul(dev_const(alpha), ordering))
+    numd = ffr4.add(numd, ffr4.mul(dev_const(alpha2), local))
+    numd = ffr4.mul(numd, zhi_d)
+
+    out = ffr4.decode(np.asarray(ntt4.dom.ifft(numd, coset=True)))
+    h_coeffs = [int(v) for v in out]
     # h has at most 3(N+2) meaningful coeffs — split in 3 shards of N+2
     shard = N + 2
     h0 = h_coeffs[:shard]
@@ -434,6 +563,7 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     oz = _poly_eval(o_b, zeta, q)
     s1z = _poly_eval(pk.s1_coeffs, zeta, q)
     s2z = _poly_eval(pk.s2_coeffs, zeta, q)
+    qcpz = [_poly_eval(c, zeta, q) for c in pk.qcp_coeffs]
     wzeta = w * zeta % q
     zu = _poly_eval(z_b, wzeta, q)
 
@@ -458,6 +588,8 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     lin = _poly_add(lin, _poly_scale(pk.qm_coeffs, rl, q), q)
     lin = _poly_add(lin, _poly_scale(pk.qo_coeffs, oz, q), q)
     lin = _poly_add(lin, pk.qk_coeffs, q)
+    for qz, pi2_c in zip(qcpz, pi2_coeffs):   # + sum qcp_i(z)*pi2_i(X)
+        lin = _poly_add(lin, _poly_scale(pi2_c, qz, q), q)
     lin = _poly_add(lin, _poly_scale(pk.s3_coeffs, _s1, q), q)
     lin = _poly_add(lin, _poly_scale(z_b, coeff_z, q), q)
     hfold = _poly_add(h0, _poly_scale(h1, zp2, q), q)
@@ -471,34 +603,37 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     z_open = kzg_mod.open_at(pk.srs, z_b, wzeta)
     assert z_open.claimed_value == zu
 
-    # batch open [lin, l, r, o, s1, s2] at zeta
+    # batch open [lin, l, r, o, s1, s2, qcp...] at zeta
     lin_digest = _lin_digest_prover(pk, vk, c_z, (c_h0, c_h1, c_h2),
-                                    lz, rz, oz, _s1, coeff_z, zh_zeta, zp2)
-    digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]]
-    fold_ch = _fold_challenge(vk, digests, zeta, zu)
+                                    lz, rz, oz, _s1, coeff_z, zh_zeta, zp2,
+                                    bsb22_pts, qcpz)
+    digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]] \
+        + list(vk.qcp_c)
+    claimed = [lin_zeta, lz, rz, oz, s1z, s2z] + qcpz
+    fold_ch = _fold_challenge(vk, digests, zeta, zu, claimed)
     batch = kzg_mod.batch_open_single_point(
-        pk.srs, [lin, l_b, r_b, o_b, pk.s1_coeffs, pk.s2_coeffs],
+        pk.srs, [lin, l_b, r_b, o_b, pk.s1_coeffs, pk.s2_coeffs]
+        + list(pk.qcp_coeffs),
         zeta, fold_ch)
-    claimed = [lin_zeta, lz, rz, oz, s1z, s2z]
     assert batch.claimed_values == claimed
 
     return PlonkProof(lro=[c_l, c_r, c_o], z=c_z, h=[c_h0, c_h1, c_h2],
                       batched_h=batch.h, claimed=claimed,
-                      z_shift_h=z_open.h, zu=zu)
+                      z_shift_h=z_open.h, zu=zu, bsb22=bsb22_pts)
 
 
 def _lin_digest_prover(pk, vk, c_z, c_h, lz, rz, oz, _s1, coeff_z,
-                       zh_zeta, zp2):
+                       zh_zeta, zp2, bsb22_pts=(), qcpz=()):
     """Commitment to the linearized polynomial, computed like the
     verifier does (verify.go:263-280) so both sides agree."""
     q = vk.curve.fr.modulus
     f1 = vk.curve.host_fp
     rl = lz * rz % q
-    pts = [vk.ql_c, vk.qr_c, vk.qm_c, vk.qo_c, vk.qk_c,
-           vk.s_comm[2], c_z, c_h[0], c_h[1], c_h[2]]
+    pts = list(bsb22_pts) + [vk.ql_c, vk.qr_c, vk.qm_c, vk.qo_c, vk.qk_c,
+                             vk.s_comm[2], c_z, c_h[0], c_h[1], c_h[2]]
     zh = (q - zh_zeta) % q
-    sc = [lz, rz, rl, oz, 1, _s1, coeff_z,
-          zh, zh * zp2 % q, zh * zp2 % q * zp2 % q]
+    sc = list(qcpz) + [lz, rz, rl, oz, 1, _s1, coeff_z,
+                       zh, zh * zp2 % q, zh * zp2 % q * zp2 % q]
     acc = host.INF
     for P, s in zip(pts, sc):
         acc = host.ec_add(f1, acc, host.ec_mul(f1, P, s))
@@ -519,6 +654,22 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
         raise ValueError(f"want {vk.nb_public - 1} public values")
     publics = [1] + [v % q for v in public_values]  # constant-one wire
 
+    # proof shape checks (verify.go:45-59)
+    if len(proof.bsb22) != len(vk.qcp_c):
+        return False
+    if len(proof.claimed) != 6 + len(vk.qcp_c):
+        return False
+    # untrusted-point hardening: on-curve + subgroup for every proof
+    # point before any host EC op / pairing (gnark checks on unmarshal)
+    if not host.validate_points(
+            curve,
+            g1_points=list(proof.lro) + [proof.z] + list(proof.h)
+            + list(proof.bsb22) + [proof.batched_h, proof.z_shift_h]):
+        return False
+    if any(not isinstance(v, int) or not 0 <= v < q
+           for v in list(proof.claimed) + [proof.zu]):
+        return False
+
     ts = _new_transcript(vk)
     _bind_public_data(ts, vk, publics)
     p_mod = curve.fp.modulus
@@ -526,6 +677,8 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
         ts.bind("gamma", ts.point_bytes(pt, p_mod))
     gamma = ts.challenge("gamma")
     beta = ts.challenge("beta")
+    for pt in proof.bsb22:
+        ts.bind("alpha", ts.point_bytes(pt, p_mod))
     ts.bind("alpha", ts.point_bytes(proof.z, p_mod))
     alpha = ts.challenge("alpha")
     for pt in proof.h:
@@ -546,7 +699,18 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
         pi = (pi + li * v) % q
         accw = accw * w % q
 
-    lin_z, lz, rz, oz, s1z, s2z = proof.claimed
+    # BSB22: PI += hash(pi2 commitment) * L_{cci}(zeta)
+    # (verify.go:162-190) — the verifier recomputes the challenge the
+    # prover's qk injection contributed at the COMMITMENT row
+    for i, cci in enumerate(vk.commitment_rows):
+        hashed = _h2f_bsb22(curve, proof.bsb22[i])
+        wi = pow(w, vk.nb_public + cci, q)
+        li = zh_zeta * pow((zeta - wi) % q, -1, q) % q * n_inv % q \
+            * wi % q
+        pi = (pi + li * hashed) % q
+
+    lin_z, lz, rz, oz, s1z, s2z = proof.claimed[:6]
+    qcpz = list(proof.claimed[6:])
     zu = proof.zu
     alpha2 = alpha * alpha % q
     a2l1 = alpha2 * l1_zeta % q
@@ -570,10 +734,12 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
     zp2 = pow(zeta, N + 2, q)
 
     lin_digest = _lin_digest_prover(None, vk, proof.z, tuple(proof.h),
-                                    lz, rz, oz, _s1, coeff_z, zh_zeta, zp2)
+                                    lz, rz, oz, _s1, coeff_z, zh_zeta, zp2,
+                                    proof.bsb22, qcpz)
 
-    digests = [lin_digest] + proof.lro + [vk.s_comm[0], vk.s_comm[1]]
-    fold_ch = _fold_challenge(vk, digests, zeta, zu)
+    digests = [lin_digest] + proof.lro + [vk.s_comm[0], vk.s_comm[1]] \
+        + list(vk.qcp_c)
+    fold_ch = _fold_challenge(vk, digests, zeta, zu, proof.claimed)
 
     srs_shim = kzg_mod.SRS(curve=curve, g1_powers=None, g1_host=None,
                            g2_gen=vk.g2_gen, g2_tau=vk.g2_tau)

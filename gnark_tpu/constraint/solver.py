@@ -148,6 +148,11 @@ def _run_instruction(cs, inst: Instruction, sol: Solution, overrides):
 
     if inst.kind == "scs":
         con = cs.sparse[inst.cidx]
+        if con.commitment:
+            # PLONK commitment rows (-v + qcp*c == 0 / -out + qk == 0)
+            # only hold under the protocol's extra Qcp/qk terms; the
+            # plain solver skips them (solver.go solveSparseR1C).
+            return
         a_, b_, o_ = values[con.xa], values[con.xb], values[con.xo]
         known = []
         # solve for whichever wire is unsolved (output usually xo)

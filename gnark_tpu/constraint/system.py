@@ -40,9 +40,21 @@ class R1C:
     o: LinExp
 
 
+
+# SparseR1C.commitment markers (reference constraint/r1cs_sparse.go
+# CommitmentConstraint: NOT/COMMITTED/COMMITMENT)
+NOT_COMMITTED = 0
+COMMITTED = 1      # -v + qcp_i(X)*c_i(X) == 0 row (value feeds a commitment)
+COMMITMENT = 2     # -out + qk-injected challenge == 0 row
+
+
 @dataclasses.dataclass
 class SparseR1C:
-    """qL*xa + qR*xb + qO*xo + qM*xa*xb + qC == 0."""
+    """qL*xa + qR*xb + qO*xo + qM*xa*xb + qC == 0.
+
+    Rows with commitment != NOT_COMMITTED only hold under the PLONK
+    protocol's extra Qcp/qk terms; the plain solver skips checking
+    them (reference constraint/bn254/solver.go solveSparseR1C)."""
     xa: int
     xb: int
     xo: int
@@ -51,6 +63,7 @@ class SparseR1C:
     qO: int
     qM: int
     qC: int
+    commitment: int = NOT_COMMITTED
 
 
 @dataclasses.dataclass
@@ -79,6 +92,12 @@ class Commitment:
     committed_wires: tuple      # wires whose values get committed
     commitment_wire: int        # the wire holding the challenge value
     hint_name: str = ""
+    # SCS/PLONK only: constraint row indexes of the COMMITTED rows
+    # (one per committed wire; reference scs/api.go
+    # AddPlonkCommitmentInputs) and of the COMMITMENT row
+    # (AddPlonkCommitmentOutputs CommitmentIndex).
+    committed_rows: tuple = ()
+    commitment_row: int = -1
 
 
 class ConstraintSystem:

@@ -42,26 +42,47 @@ class SCSBuilder:
         self.deferred.append(fn)
 
     def commit(self, *values):
-        """BSB22 commitment (PLONK wiring lands with Qcp support; the
-        SCS builder records metadata the same way)."""
-        from gnark_tpu.constraint.system import Commitment
+        """BSB22 commitment: records COMMITTED rows (-v + qcp*c == 0)
+        for each committed wire and a COMMITMENT row (-out + qk == 0)
+        for the challenge wire, exactly like the reference SCS builder
+        (frontend/cs/scs/api.go AddPlonkCommitmentInputs/Outputs).
+        The PLONK backend turns the row indexes into Qcp columns."""
+        from gnark_tpu.constraint.system import (Commitment, COMMITTED,
+                                                 COMMITMENT)
         wires = []
+        seen = set()
         for v in values:
             t = self._t(v)
+            if t.is_const:
+                continue            # constants carry no entropy
             if not t.is_const and t.c == 1 and t.k == 0:
-                wires.append(t.w)
+                w = t.w
             else:
                 # materialize: c*w + k - w2 == 0
                 w2 = self.cs.new_internal_wire()
                 xa = t.w if not t.is_const else 0
                 self._gate(xa, xa, w2, t.c if not t.is_const else 0,
                            0, self.q - 1, 0, t.k, solve_wire=w2)
-                wires.append(w2)
+                w = w2
+            if w not in seen:       # dedup (Commit api.go:735-757)
+                seen.add(w)
+                wires.append(w)
+        if not wires:
+            raise ValueError("commit called with no non-constant values")
+        committed_rows = []
+        for w in wires:
+            committed_rows.append(len(self.cs.sparse))
+            self._gate(w, 0, 0, self.q - 1, 0, 0, 0, 0,
+                       commitment=COMMITTED)
         cvar = self.new_hint("bsb22", 1,
                              *[Term(1, w, 0) for w in wires])[0]
+        cm_row = len(self.cs.sparse)
+        self._gate(cvar.w, 0, 0, self.q - 1, 0, 0, 0, 0,
+                   commitment=COMMITMENT)
         self.cs.commitments.append(Commitment(
             committed_wires=tuple(wires),
-            commitment_wire=cvar.w, hint_name="bsb22"))
+            commitment_wire=cvar.w, hint_name="bsb22",
+            committed_rows=tuple(committed_rows), commitment_row=cm_row))
         return cvar
 
     # -- compiler surface ---------------------------------------------------
@@ -104,7 +125,7 @@ class SCSBuilder:
     # -- gate plumbing --------------------------------------------------------
 
     def _gate(self, xa, xb, xo, qL, qR, qO, qM, qC, solve_wire=None,
-              cse_key=None):
+              cse_key=None, commitment=0):
         """Append a sparse gate; returns via CSE when identical gate exists."""
         q = self.q
         qL, qR, qO, qM, qC = qL % q, qR % q, qO % q, qM % q, qC % q
@@ -114,7 +135,8 @@ class SCSBuilder:
         profile.record_constraint()
         cidx = len(self.cs.sparse)
         self.cs.sparse.append(SparseR1C(xa=xa, xb=xb, xo=xo, qL=qL, qR=qR,
-                                        qO=qO, qM=qM, qC=qC))
+                                        qO=qO, qM=qM, qC=qC,
+                                        commitment=commitment))
         ins = {xa, xb, xo}
         if solve_wire is None:
             inst = Instruction(kind="scs", cidx=cidx)
@@ -264,6 +286,9 @@ class SCSBuilder:
         for i, b in enumerate(bits):
             acc = self._add2(acc, Term((1 << i) % self.q, b.w, 0))
         self.assert_is_equal(acc, ta)
+        if nbits >= self.field_bitlen():
+            # pin the canonical decomposition (see r1cs.to_binary)
+            self._bits_leq_const(bits, self.q - 1)
         return bits
 
     def from_binary(self, bits) -> Term:
@@ -414,8 +439,11 @@ class SCSBuilder:
         if bound >= (1 << self.field_bitlen()) - 1:
             return
         vbits = self.to_binary(v, nbits)
+        self._bits_leq_const(vbits, bound)
+
+    def _bits_leq_const(self, vbits, bound: int):
         p = Term(0, -1, 1)
-        for i in range(nbits - 1, -1, -1):
+        for i in range(len(vbits) - 1, -1, -1):
             if (bound >> i) & 1:
                 p = self.mul(p, vbits[i])
             else:

@@ -68,3 +68,79 @@ def test_plonk_multigate():
     proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(5))
     assert plonk.verify(proof, vk, pub)
     assert not plonk.verify(proof, vk, [c + 1])
+
+
+# ---------------------------------------------------------------------------
+# BSB22 commitment circuits (Qcp columns)
+# ---------------------------------------------------------------------------
+
+def test_plonk_lookup_commitment():
+    """api.commit circuits (log-derivative lookup) prove under PLONK
+    (reference backend/plonk/bn254/setup.go:211-218 Qcp columns,
+    prove.go:268-311 bsb22Hint)."""
+    import dataclasses
+
+    from tests.test_lookup import SBOX, SboxCircuit
+
+    cs = compile_circuit(SboxCircuit(), fields.BN254_FR,
+                         builder_cls=SCSBuilder)
+    assert len(cs.commitments) == 1
+    srs = kzg.setup_srs("bn254", 2 * cs.nb_constraints + 16,
+                        rng=random.Random(33))
+    pk, vk = plonk.setup(cs, srs)
+    assert len(vk.qcp_c) == 1
+    pub, sec = witness(SboxCircuit(x=5, y=SBOX[5]), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(1))
+    assert len(proof.bsb22) == 1 and len(proof.claimed) == 7
+    assert plonk.verify(proof, vk, pub)
+    assert not plonk.verify(proof, vk, [SBOX[4]])
+    # tampering with the pi2 commitment must break the challenge chain
+    t = dataclasses.replace(proof, bsb22=[proof.lro[0]])
+    assert not plonk.verify(t, vk, pub)
+
+
+def test_plonk_rangecheck_commitment():
+    """Commit-based log-derivative range check under PLONK."""
+    from gnark_tpu.std.rangecheck import check_many_logderiv
+
+    class RC(Circuit):
+        x: Secret
+
+        def define(self, api):
+            check_many_logderiv(api, [self.x], 16)
+
+    cs = compile_circuit(RC(), fields.BN254_FR, builder_cls=SCSBuilder)
+    assert cs.commitments, "commit-mode rangecheck must use api.commit"
+    srs = kzg.setup_srs("bn254", 2 * cs.nb_constraints + 16,
+                        rng=random.Random(7))
+    pk, vk = plonk.setup(cs, srs)
+    pub, sec = witness(RC(x=65535), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(2))
+    assert plonk.verify(proof, vk, pub)
+
+
+def test_plonk_multi_commitments():
+    """Two independent api.commit calls -> two Qcp columns."""
+    class TwoCommits(Circuit):
+        a: Secret
+        b: Secret
+        s: Public
+
+        def define(self, api):
+            c1 = api.commit(self.a)
+            c2 = api.commit(self.b, c1)
+            api.assert_is_different(c1, 0)
+            api.assert_is_different(c2, 0)
+            api.assert_is_equal(api.add(self.a, self.b), self.s)
+
+    cs = compile_circuit(TwoCommits(), fields.BN254_FR,
+                         builder_cls=SCSBuilder)
+    assert len(cs.commitments) == 2
+    srs = kzg.setup_srs("bn254", 2 * cs.nb_constraints + 16,
+                        rng=random.Random(9))
+    pk, vk = plonk.setup(cs, srs)
+    pub, sec = witness(TwoCommits(a=3, b=4, s=7), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(3))
+    assert len(proof.bsb22) == 2 and len(proof.claimed) == 8
+    assert plonk.verify(proof, vk, pub)
+    assert not plonk.verify(proof, vk, [8])
