@@ -43,3 +43,15 @@ def limb_unroll() -> int:
     except Exception:
         platform = "cpu"
     return 8 if platform != "cpu" else 1
+
+
+@functools.lru_cache(maxsize=None)
+def use_native_solver() -> bool:
+    """Route prove-path witness solving through the C++ level-parallel
+    solver (native/solver.cpp) when the field fits its limb widths.
+    GNARK_TPU_NATIVE_SOLVER=0/1 overrides (default on; tests compare
+    both paths explicitly)."""
+    env = os.environ.get("GNARK_TPU_NATIVE_SOLVER")
+    if env is not None:
+        return env == "1"
+    return True

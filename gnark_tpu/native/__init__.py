@@ -1,9 +1,10 @@
 """Native (C++) witness solver bindings.
 
 Builds native/solver.cpp on first use (g++ -O3 -shared; cached under
-~/.cache/gnark_tpu_native) and drives it via ctypes. Fields up to 255
-bits (4x64 limbs) are supported — BN254/BLS12-381/BLS12-377 scalar
-fields; anything else falls back to the Python solver transparently.
+~/.cache/gnark_tpu_native) and drives it via ctypes. Fields up to 383
+bits are supported via templated 4x64 / 6x64 limb arithmetic —
+BN254/BLS12-381/BLS12-377 fr use 4 limbs, BW6-761 fr (377 bits) uses
+6; anything wider falls back to the Python solver transparently.
 
 solve_native() mirrors gnark_tpu.constraint.solve()'s contract.
 """
@@ -48,13 +49,19 @@ _HINT_CB = ctypes.CFUNCTYPE(
     ctypes.c_int32, ctypes.POINTER(ctypes.c_uint64), ctypes.c_int32)
 
 
-def _to_limbs4(x: int) -> list[int]:
-    return [(x >> (64 * i)) & ((1 << 64) - 1) for i in range(4)]
+def _nlimbs(cs) -> int:
+    return 4 if cs.field.bits <= 255 else 6
 
 
-def _from_limbs4(arr) -> int:
-    return int(arr[0]) | int(arr[1]) << 64 | int(arr[2]) << 128 \
-        | int(arr[3]) << 192
+def _to_limbs(x: int, nl: int) -> list[int]:
+    return [(x >> (64 * i)) & ((1 << 64) - 1) for i in range(nl)]
+
+
+def _from_limbs(arr, nl: int) -> int:
+    v = 0
+    for i in range(nl):
+        v |= int(arr[i]) << (64 * i)
+    return v
 
 
 def _marshal(cs):
@@ -90,7 +97,8 @@ def _marshal(cs):
     for con in cs.sparse:
         scs_data.append((con.xa, con.xb, con.xo, cidx_of(con.qL),
                          cidx_of(con.qR), cidx_of(con.qO),
-                         cidx_of(con.qM), cidx_of(con.qC)))
+                         cidx_of(con.qM), cidx_of(con.qC),
+                         con.commitment))
 
     outputs = []
     hint_in_off = []
@@ -111,14 +119,15 @@ def _marshal(cs):
                 inst.hint_name, len(inst.inputs), len(inst.outputs))
         inst_rows.append((kind, inst.cidx, o0, o1, h0, h1))
 
-    consts_arr = np.zeros((max(len(consts), 1), 4), dtype=np.uint64)
+    nl = _nlimbs(cs)
+    consts_arr = np.zeros((max(len(consts), 1), nl), dtype=np.uint64)
     for v, i in consts.items():
-        consts_arr[i] = _to_limbs4(v)
+        consts_arr[i] = _to_limbs(v, nl)
     cs._native_blob = dict(
         consts=consts_arr,
         terms=np.array(terms or [(0, 0)], dtype=np.uint32),
         r1c_off=np.array(r1c_off or [(0,) * 6], dtype=np.uint32),
-        scs=np.array(scs_data or [(0,) * 8], dtype=np.uint32),
+        scs=np.array(scs_data or [(0,) * 9], dtype=np.uint32),
         inst=np.array(inst_rows or [(4, 0, 0, 0, 0, 0)], dtype=np.int64),
         outputs=np.array(outputs or [0], dtype=np.uint32),
         hint_in_off=np.array(hint_in_off or [(0, 0)],
@@ -134,7 +143,7 @@ def _marshal(cs):
 
 
 def supports(cs) -> bool:
-    return cs.field.bits <= 255
+    return cs.field.bits <= 383
 
 
 def solve_native(cs, public: list, secret: list,
@@ -149,17 +158,18 @@ def solve_native(cs, public: list, secret: list,
         raise SolverError("assignment size mismatch")
 
     m = _marshal(cs)
+    nl = _nlimbs(cs)
     nw = cs.nb_wires
-    values = np.zeros((nw, 4), dtype=np.uint64)
+    values = np.zeros((nw, nl), dtype=np.uint64)
     solved = np.zeros(nw, dtype=np.uint8)
     packed = b"".join(
-        (v % q).to_bytes(32, "little")
+        (v % q).to_bytes(8 * nl, "little")
         for v in [1] + list(public) + list(secret))
     n_in = 1 + len(public) + len(secret)
-    values[:n_in] = np.frombuffer(packed, dtype=np.uint64).reshape(-1, 4)
+    values[:n_in] = np.frombuffer(packed, dtype=np.uint64).reshape(-1, nl)
     solved[:n_in] = 1
     n_r1c = len(cs.r1cs)
-    abc = np.zeros((3 * max(n_r1c, 1), 4), dtype=np.uint64)
+    abc = np.zeros((3 * max(n_r1c, 1), nl), dtype=np.uint64)
     err = ctypes.create_string_buffer(256)
     overrides = hint_overrides or {}
     cb_error = []
@@ -168,7 +178,7 @@ def solve_native(cs, public: list, secret: list,
     def hint_cb(inst_id, in_ptr, n_in, out_ptr, n_out):
         name, _, _ = m["hint_meta"][inst_id]
         fn = overrides.get(name) or get_hint(name)
-        ins = [_from_limbs4(in_ptr[4 * j: 4 * j + 4])
+        ins = [_from_limbs(in_ptr[nl * j: nl * j + nl], nl)
                for j in range(n_in)]
         try:
             outs = fn(q, ins)
@@ -179,9 +189,9 @@ def solve_native(cs, public: list, secret: list,
             cb_error.append(f"hint {name}: bad arity")
             return 1
         for j, v in enumerate(outs):
-            limbs = _to_limbs4(v % q)
-            for k in range(4):
-                out_ptr[4 * j + k] = limbs[k]
+            limbs = _to_limbs(v % q, nl)
+            for k in range(nl):
+                out_ptr[nl * j + k] = limbs[k]
         return 0
 
     def u64p(a):
@@ -190,11 +200,13 @@ def solve_native(cs, public: list, secret: list,
     def u32p(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
-    p_arr = np.array(_to_limbs4(q), dtype=np.uint64)
-    r2_arr = np.array(_to_limbs4((1 << 512) % q), dtype=np.uint64)
+    p_arr = np.array(_to_limbs(q, nl), dtype=np.uint64)
+    r2_arr = np.array(_to_limbs((1 << (128 * nl)) % q, nl),
+                      dtype=np.uint64)
     n0inv = (-pow(q, -1, 1 << 64)) % (1 << 64)
 
     rc = lib.gnark_tpu_solve(
+        ctypes.c_int64(nl),
         u64p(p_arr), u64p(r2_arr), ctypes.c_uint64(n0inv),
         u64p(m["consts"]), ctypes.c_int64(len(m["consts"])),
         u32p(m["terms"]), ctypes.c_int64(len(m["terms"])),
@@ -214,7 +226,8 @@ def solve_native(cs, public: list, secret: list,
 
     def rows_to_ints(arr, start, count):
         b = arr[start:start + count].tobytes()
-        return [int.from_bytes(b[32 * i: 32 * i + 32], "little")
+        w = 8 * nl
+        return [int.from_bytes(b[w * i: w * i + w], "little")
                 for i in range(count)]
 
     vals = rows_to_ints(values, 0, nw)

@@ -1,4 +1,4 @@
-// Native witness solver: 4x64-limb Montgomery arithmetic + leveled
+// Native witness solver: multi-limb Montgomery arithmetic + leveled
 // instruction interpreter.
 //
 // This is the TPU build's analog of the reference's per-field generated
@@ -8,7 +8,9 @@
 // with Python only orchestrating and providing hint callbacks.
 //
 // C ABI, driven from Python via ctypes (no pybind11 in the image).
-// Field-generic for moduli up to 255 bits (4x64 limbs).
+// Field-generic, templated on limb count: NL=4 covers moduli to 255
+// bits (BN254/BLS12-377/BLS12-381 fr), NL=6 covers BW6-761 fr (377
+// bits). The entry point dispatches on the nlimbs argument.
 
 #include <atomic>
 #include <cstdint>
@@ -21,38 +23,44 @@ typedef unsigned __int128 u128;
 typedef uint64_t u64;
 typedef uint32_t u32;
 
-struct Field {
-    u64 p[4];      // modulus, little-endian limbs
-    u64 r2[4];     // R^2 mod p (for to_mont)
+template <int NL> struct Field {
+    u64 p[NL];     // modulus, little-endian limbs
+    u64 r2[NL];    // R^2 mod p (for to_mont)
     u64 n0inv;     // -p^-1 mod 2^64
 };
 
-struct Fe { u64 v[4]; };
+template <int NL> struct Fe { u64 v[NL]; };
 
-static inline bool is_zero(const Fe &a) {
-    return (a.v[0] | a.v[1] | a.v[2] | a.v[3]) == 0;
+template <int NL> static inline bool is_zero(const Fe<NL> &a) {
+    u64 acc = 0;
+    for (int i = 0; i < NL; i++) acc |= a.v[i];
+    return acc == 0;
 }
 
-static inline bool geq_p(const Fe &a, const Field &F) {
-    for (int i = 3; i >= 0; i--) {
+template <int NL>
+static inline bool geq_p(const Fe<NL> &a, const Field<NL> &F) {
+    for (int i = NL - 1; i >= 0; i--) {
         if (a.v[i] > F.p[i]) return true;
         if (a.v[i] < F.p[i]) return false;
     }
     return true;  // equal
 }
 
-static inline void sub_p(Fe &a, const Field &F) {
+template <int NL>
+static inline void sub_p(Fe<NL> &a, const Field<NL> &F) {
     u128 borrow = 0;
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < NL; i++) {
         u128 d = (u128)a.v[i] - F.p[i] - (u64)borrow;
         a.v[i] = (u64)d;
         borrow = (d >> 64) ? 1 : 0;
     }
 }
 
-static inline void fe_add(const Fe &a, const Fe &b, Fe &r, const Field &F) {
+template <int NL>
+static inline void fe_add(const Fe<NL> &a, const Fe<NL> &b, Fe<NL> &r,
+                          const Field<NL> &F) {
     u128 carry = 0;
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < NL; i++) {
         u128 s = (u128)a.v[i] + b.v[i] + (u64)carry;
         r.v[i] = (u64)s;
         carry = s >> 64;
@@ -60,16 +68,18 @@ static inline void fe_add(const Fe &a, const Fe &b, Fe &r, const Field &F) {
     if (carry || geq_p(r, F)) sub_p(r, F);
 }
 
-static inline void fe_sub(const Fe &a, const Fe &b, Fe &r, const Field &F) {
+template <int NL>
+static inline void fe_sub(const Fe<NL> &a, const Fe<NL> &b, Fe<NL> &r,
+                          const Field<NL> &F) {
     u128 borrow = 0;
-    for (int i = 0; i < 4; i++) {
+    for (int i = 0; i < NL; i++) {
         u128 d = (u128)a.v[i] - b.v[i] - (u64)borrow;
         r.v[i] = (u64)d;
         borrow = (d >> 64) ? 1 : 0;
     }
     if (borrow) {  // add p back
         u128 carry = 0;
-        for (int i = 0; i < 4; i++) {
+        for (int i = 0; i < NL; i++) {
             u128 s = (u128)r.v[i] + F.p[i] + (u64)carry;
             r.v[i] = (u64)s;
             carry = s >> 64;
@@ -77,65 +87,73 @@ static inline void fe_sub(const Fe &a, const Fe &b, Fe &r, const Field &F) {
     }
 }
 
-static void fe_mul(const Fe &x, const Fe &y, Fe &out, const Field &F) {
-    u64 t[6] = {0, 0, 0, 0, 0, 0};
-    for (int i = 0; i < 4; i++) {
+// CIOS Montgomery multiplication
+template <int NL>
+static void fe_mul(const Fe<NL> &x, const Fe<NL> &y, Fe<NL> &out,
+                   const Field<NL> &F) {
+    u64 t[NL + 2];
+    memset(t, 0, sizeof(t));
+    for (int i = 0; i < NL; i++) {
         u128 carry = 0;
-        for (int j = 0; j < 4; j++) {
+        for (int j = 0; j < NL; j++) {
             u128 cur = (u128)x.v[i] * y.v[j] + t[j] + (u64)carry;
             t[j] = (u64)cur;
             carry = cur >> 64;
         }
-        u128 s = (u128)t[4] + (u64)carry;
-        t[4] = (u64)s;
-        t[5] = (u64)(s >> 64);
+        u128 s = (u128)t[NL] + (u64)carry;
+        t[NL] = (u64)s;
+        t[NL + 1] = (u64)(s >> 64);
 
         u64 m = t[0] * F.n0inv;
         u128 cur = (u128)m * F.p[0] + t[0];
         carry = cur >> 64;
-        for (int j = 1; j < 4; j++) {
+        for (int j = 1; j < NL; j++) {
             cur = (u128)m * F.p[j] + t[j] + (u64)carry;
             t[j - 1] = (u64)cur;
             carry = cur >> 64;
         }
-        s = (u128)t[4] + (u64)carry;
-        t[3] = (u64)s;
-        t[4] = t[5] + (u64)(s >> 64);
-        t[5] = 0;
+        s = (u128)t[NL] + (u64)carry;
+        t[NL - 1] = (u64)s;
+        t[NL] = t[NL + 1] + (u64)(s >> 64);
+        t[NL + 1] = 0;
     }
-    Fe r;
-    memcpy(r.v, t, 32);
-    if (t[4] || geq_p(r, F)) sub_p(r, F);
+    Fe<NL> r;
+    memcpy(r.v, t, NL * 8);
+    if (t[NL] || geq_p(r, F)) sub_p(r, F);
     out = r;
 }
 
-static void fe_to_mont(const Fe &a, Fe &r, const Field &F) {
-    Fe r2; memcpy(r2.v, F.r2, 32);
+template <int NL>
+static void fe_to_mont(const Fe<NL> &a, Fe<NL> &r, const Field<NL> &F) {
+    Fe<NL> r2;
+    memcpy(r2.v, F.r2, NL * 8);
     fe_mul(a, r2, r, F);
 }
 
-static void fe_from_mont(const Fe &a, Fe &r, const Field &F) {
-    Fe one = {{1, 0, 0, 0}};
+template <int NL>
+static void fe_from_mont(const Fe<NL> &a, Fe<NL> &r, const Field<NL> &F) {
+    Fe<NL> one = {};
+    one.v[0] = 1;
     fe_mul(a, one, r, F);
 }
 
 // a^(p-2) — Montgomery-domain Fermat inverse; inv(0) = 0
-static void fe_inv(const Fe &a, Fe &r, const Field &F) {
-    // exponent p-2
-    u64 e[4];
-    memcpy(e, F.p, 32);
-    // subtract 2
-    u128 borrow = 2;
-    for (int i = 0; i < 4 && borrow; i++) {
+template <int NL>
+static void fe_inv(const Fe<NL> &a, Fe<NL> &r, const Field<NL> &F) {
+    u64 e[NL];
+    memcpy(e, F.p, NL * 8);
+    u128 borrow = 2;  // exponent p-2
+    for (int i = 0; i < NL && borrow; i++) {
         u128 d = (u128)e[i] - (u64)borrow;
         e[i] = (u64)d;
         borrow = (d >> 64) ? 1 : 0;
     }
-    Fe one_raw = {{1, 0, 0, 0}};
-    Fe result;
+    Fe<NL> one_raw = {};
+    one_raw.v[0] = 1;
+    Fe<NL> result;
     fe_to_mont(one_raw, result, F);
-    Fe base = a;
-    for (int limb = 0; limb < 4; limb++) {
+    Fe<NL> base = a;
+    for (int limb = 0; limb < NL; limb++) {
         u64 bits = e[limb];
         for (int b = 0; b < 64; b++) {
             if (bits & 1) fe_mul(result, base, result, F);
@@ -155,38 +173,40 @@ enum Kind { K_R1C = 0, K_ASSERT = 1, K_HINT = 2, K_SCS = 3, K_LOG = 4 };
 typedef int (*hint_cb_t)(int32_t inst_id, const u64 *inputs, int32_t n_in,
                          u64 *outputs, int32_t n_out);
 
-struct CS {
-    Field F;
-    std::vector<Fe> consts;       // Montgomery form
-    std::vector<Fe> consts_inv;   // precomputed inverses (0 for 0)
+template <int NL> struct CS {
+    Field<NL> F;
+    std::vector<Fe<NL>> consts;       // Montgomery form
+    std::vector<Fe<NL>> consts_inv;   // precomputed inverses (0 for 0)
     // linexp term stream: (const_idx, wire)
     const u32 *terms;
     // r1cs: per constraint 6 offsets into terms (l0,l1,r0,r1,o0,o1)
     const u32 *r1c_off;
     // scs: per constraint xa,xb,xo + 5 const idx (qL,qR,qO,qM,qC)
+    //      + commitment marker (9 u32 stride)
     const u32 *scs_data;
     // instructions: kind, cidx, out0, out1, hin0, hin1
     const int64_t *inst;
     int64_t n_inst;
-    const u32 *outputs;           // flat output wire ids
+    const u32 *outputs;               // flat output wire ids
     // hint inputs: flat linexp offsets (start,end) pairs into terms
     const u32 *hint_in_off;
     hint_cb_t hint_cb;
 };
 
-struct SolveState {
-    std::vector<Fe> values;       // Montgomery
+template <int NL> struct SolveState {
+    std::vector<Fe<NL>> values;       // Montgomery
     std::vector<uint8_t> solved;
-    std::vector<Fe> a, b, c;      // r1cs evaluation vectors
+    std::vector<Fe<NL>> a, b, c;      // r1cs evaluation vectors
     char err[256];
 };
 
-// evaluate linexp terms[s..e): returns (sum of known, count unknown,
-// last unknown term index)
-static int eval_linexp(const CS &cs, SolveState &st, u32 s, u32 e,
-                       Fe &acc, u32 &unk_term) {
+// evaluate linexp terms[s..e): returns count unknown; acc = known sum,
+// unk_term = last unknown term index
+template <int NL>
+static int eval_linexp(const CS<NL> &cs, SolveState<NL> &st, u32 s, u32 e,
+                       Fe<NL> &acc, u32 &unk_term) {
     int unknown = 0;
-    acc = Fe{{0, 0, 0, 0}};
+    acc = Fe<NL>{};
     for (u32 i = s; i < e; i++) {
         u32 cidx = cs.terms[2 * i];
         u32 wire = cs.terms[2 * i + 1];
@@ -195,43 +215,45 @@ static int eval_linexp(const CS &cs, SolveState &st, u32 s, u32 e,
             unk_term = i;
             continue;
         }
-        Fe t;
+        Fe<NL> t;
         fe_mul(cs.consts[cidx], st.values[wire], t, cs.F);
         fe_add(acc, t, acc, cs.F);
     }
     return unknown;
 }
 
-static bool solve_r1c(const CS &cs, SolveState &st, int64_t cidx,
+template <int NL>
+static bool solve_r1c(const CS<NL> &cs, SolveState<NL> &st, int64_t cidx,
                       bool is_assert) {
+    (void)is_assert;
     const u32 *off = cs.r1c_off + 6 * cidx;
-    Fe la, ra, oa;
+    Fe<NL> la, ra, oa;
     u32 lu = 0, ru = 0, ou = 0;
     int nl = eval_linexp(cs, st, off[0], off[1], la, lu);
     int nr = eval_linexp(cs, st, off[2], off[3], ra, ru);
     int no = eval_linexp(cs, st, off[4], off[5], oa, ou);
-    Fe tmp;
+    Fe<NL> tmp;
 
     if (nl == 0 && nr == 0 && no == 0) {
         fe_mul(la, ra, tmp, cs.F);
-        if (memcmp(tmp.v, oa.v, 32) != 0) {
+        if (memcmp(tmp.v, oa.v, NL * 8) != 0) {
             snprintf(st.err, sizeof(st.err),
                      "constraint #%lld not satisfied", (long long)cidx);
             return false;
         }
     } else if (nl == 1 && nr == 0 && no == 0) {
         u32 w = cs.terms[2 * lu + 1];
-        Fe coeff = cs.consts[cs.terms[2 * lu]];
-        const Fe &ci = cs.consts_inv[cs.terms[2 * lu]];
+        Fe<NL> coeff = cs.consts[cs.terms[2 * lu]];
+        const Fe<NL> &ci = cs.consts_inv[cs.terms[2 * lu]];
         if (is_zero(ra)) {
             if (!is_zero(oa)) {
                 snprintf(st.err, sizeof(st.err), "0*x != o at #%lld",
                          (long long)cidx);
                 return false;
             }
-            st.values[w] = Fe{{0, 0, 0, 0}};
+            st.values[w] = Fe<NL>{};
         } else {
-            Fe ri, t2;
+            Fe<NL> ri, t2;
             fe_inv(ra, ri, cs.F);
             fe_mul(oa, ri, t2, cs.F);
             fe_sub(t2, la, t2, cs.F);
@@ -242,17 +264,17 @@ static bool solve_r1c(const CS &cs, SolveState &st, int64_t cidx,
         fe_add(la, tmp, la, cs.F);
     } else if (nr == 1 && nl == 0 && no == 0) {
         u32 w = cs.terms[2 * ru + 1];
-        Fe coeff = cs.consts[cs.terms[2 * ru]];
-        const Fe &ci = cs.consts_inv[cs.terms[2 * ru]];
+        Fe<NL> coeff = cs.consts[cs.terms[2 * ru]];
+        const Fe<NL> &ci = cs.consts_inv[cs.terms[2 * ru]];
         if (is_zero(la)) {
             if (!is_zero(oa)) {
                 snprintf(st.err, sizeof(st.err), "x*0 != o at #%lld",
                          (long long)cidx);
                 return false;
             }
-            st.values[w] = Fe{{0, 0, 0, 0}};
+            st.values[w] = Fe<NL>{};
         } else {
-            Fe li, t2;
+            Fe<NL> li, t2;
             fe_inv(la, li, cs.F);
             fe_mul(oa, li, t2, cs.F);
             fe_sub(t2, ra, t2, cs.F);
@@ -263,9 +285,9 @@ static bool solve_r1c(const CS &cs, SolveState &st, int64_t cidx,
         fe_add(ra, tmp, ra, cs.F);
     } else if (no == 1 && nl == 0 && nr == 0) {
         u32 w = cs.terms[2 * ou + 1];
-        Fe coeff = cs.consts[cs.terms[2 * ou]];
-        const Fe &ci = cs.consts_inv[cs.terms[2 * ou]];
-        Fe lr, t2;
+        Fe<NL> coeff = cs.consts[cs.terms[2 * ou]];
+        const Fe<NL> &ci = cs.consts_inv[cs.terms[2 * ou]];
+        Fe<NL> lr, t2;
         fe_mul(la, ra, lr, cs.F);
         fe_sub(lr, oa, t2, cs.F);
         fe_mul(t2, ci, st.values[w], cs.F);
@@ -284,15 +306,19 @@ static bool solve_r1c(const CS &cs, SolveState &st, int64_t cidx,
     return true;
 }
 
-static bool solve_scs(const CS &cs, SolveState &st, int64_t cidx) {
-    const u32 *d = cs.scs_data + 8 * cidx;
+template <int NL>
+static bool solve_scs(const CS<NL> &cs, SolveState<NL> &st, int64_t cidx) {
+    const u32 *d = cs.scs_data + 9 * cidx;
+    if (d[8]) return true;  // PLONK commitment row: only holds under
+                            // the protocol's Qcp/qk terms — skip, like
+                            // the reference solveSparseR1C
     u32 xa = d[0], xb = d[1], xo = d[2];
-    const Fe &qL = cs.consts[d[3]];
-    const Fe &qR = cs.consts[d[4]];
-    const Fe &qO = cs.consts[d[5]];
-    const Fe &qM = cs.consts[d[6]];
-    const Fe &qC = cs.consts[d[7]];
-    Fe t1, t2, num;
+    const Fe<NL> &qL = cs.consts[d[3]];
+    const Fe<NL> &qR = cs.consts[d[4]];
+    const Fe<NL> &qO = cs.consts[d[5]];
+    const Fe<NL> &qM = cs.consts[d[6]];
+    const Fe<NL> &qC = cs.consts[d[7]];
+    Fe<NL> t1, t2, num;
 
     bool sa = st.solved[xa], sb = st.solved[xb], so = st.solved[xo];
     if (sa && sb && !so) {
@@ -309,8 +335,8 @@ static bool solve_scs(const CS &cs, SolveState &st, int64_t cidx) {
                      (long long)cidx);
             return false;
         }
-        Fe zero = {{0, 0, 0, 0}};
-        const Fe &qi = cs.consts_inv[d[5]];
+        Fe<NL> zero = {};
+        const Fe<NL> &qi = cs.consts_inv[d[5]];
         fe_mul(num, qi, t1, cs.F);
         fe_sub(zero, t1, st.values[xo], cs.F);
         st.solved[xo] = 1;
@@ -347,7 +373,7 @@ static bool solve_scs(const CS &cs, SolveState &st, int64_t cidx) {
                      (long long)cidx);
             return false;
         }
-        Fe ti, zero = {{0, 0, 0, 0}};
+        Fe<NL> ti, zero = {};
         fe_inv(t1, ti, cs.F);
         fe_mul(num, ti, t2, cs.F);
         fe_sub(zero, t2, st.values[xa], cs.F);
@@ -366,7 +392,7 @@ static bool solve_scs(const CS &cs, SolveState &st, int64_t cidx) {
                      (long long)cidx);
             return false;
         }
-        Fe ti, zero = {{0, 0, 0, 0}};
+        Fe<NL> ti, zero = {};
         fe_inv(t1, ti, cs.F);
         fe_mul(num, ti, t2, cs.F);
         fe_sub(zero, t2, st.values[xb], cs.F);
@@ -378,13 +404,8 @@ static bool solve_scs(const CS &cs, SolveState &st, int64_t cidx) {
     return false;
 }
 
-extern "C" {
-
-// returns 0 on success; on failure, err_out gets the message.
-// values_io: (n_wires x 4) u64 raw little-endian; input wires pre-set
-// with solved_io[i] = 1. On success all wires filled (raw form) and
-// abc_out (3 x n_r1c x 4) holds the r1cs evaluation vectors.
-int gnark_tpu_solve(
+template <int NL>
+static int solve_impl(
     const u64 *p_le, const u64 *r2_le, u64 n0inv,
     const u64 *consts_raw, int64_t n_consts,
     const u32 *terms, int64_t n_terms,
@@ -399,10 +420,12 @@ int gnark_tpu_solve(
     u64 *values_io, uint8_t *solved_io,
     u64 *abc_out,
     char *err_out, int64_t err_len) {
+    (void)n_terms;
+    (void)n_scs;
 
-    CS cs;
-    memcpy(cs.F.p, p_le, 32);
-    memcpy(cs.F.r2, r2_le, 32);
+    CS<NL> cs;
+    memcpy(cs.F.p, p_le, NL * 8);
+    memcpy(cs.F.r2, r2_le, NL * 8);
     cs.F.n0inv = n0inv;
     cs.terms = terms;
     cs.r1c_off = r1c_off;
@@ -416,13 +439,13 @@ int gnark_tpu_solve(
     cs.consts.resize(n_consts);
     cs.consts_inv.resize(n_consts);
     for (int64_t i = 0; i < n_consts; i++) {
-        Fe raw;
-        memcpy(raw.v, consts_raw + 4 * i, 32);
+        Fe<NL> raw;
+        memcpy(raw.v, consts_raw + NL * i, NL * 8);
         fe_to_mont(raw, cs.consts[i], cs.F);
         fe_inv(cs.consts[i], cs.consts_inv[i], cs.F);
     }
 
-    SolveState st;
+    SolveState<NL> st;
     st.values.resize(n_wires);
     st.solved.assign(solved_io, solved_io + n_wires);
     st.a.resize(n_r1c);
@@ -431,11 +454,11 @@ int gnark_tpu_solve(
     st.err[0] = 0;
     for (int64_t i = 0; i < n_wires; i++) {
         if (st.solved[i]) {
-            Fe raw;
-            memcpy(raw.v, values_io + 4 * i, 32);
+            Fe<NL> raw;
+            memcpy(raw.v, values_io + NL * i, NL * 8);
             fe_to_mont(raw, st.values[i], cs.F);
         } else {
-            st.values[i] = Fe{{0, 0, 0, 0}};
+            st.values[i] = Fe<NL>{};
         }
     }
 
@@ -454,12 +477,12 @@ int gnark_tpu_solve(
             int64_t o0 = I[2], o1 = I[3], h0 = I[4], h1 = I[5];
             int32_t n_in = (int32_t)(h1 - h0);
             int32_t n_out = (int32_t)(o1 - o0);
-            std::vector<u64> &hin = hin_l;
-            std::vector<u64> &hout = hout_l;
-            hin.assign((size_t)n_in * 4, 0);
-            hout.assign((size_t)n_out * 4, 0);
+            std::vector<u64> &hinr = hin_l;
+            std::vector<u64> &houtr = hout_l;
+            hinr.assign((size_t)n_in * NL, 0);
+            houtr.assign((size_t)n_out * NL, 0);
             for (int32_t j = 0; j < n_in; j++) {
-                Fe acc;
+                Fe<NL> acc;
                 u32 unk;
                 int nu = eval_linexp(cs, st,
                                      cs.hint_in_off[2 * (h0 + j)],
@@ -471,13 +494,13 @@ int gnark_tpu_solve(
                     ok = false;
                     break;
                 }
-                Fe raw;
+                Fe<NL> raw;
                 fe_from_mont(acc, raw, cs.F);
-                memcpy(hin.data() + 4 * j, raw.v, 32);
+                memcpy(hinr.data() + NL * j, raw.v, NL * 8);
             }
             if (ok) {
-                int rc = cs.hint_cb((int32_t)ii, hin.data(), n_in,
-                                    hout.data(), n_out);
+                int rc = cs.hint_cb((int32_t)ii, hinr.data(), n_in,
+                                    houtr.data(), n_out);
                 if (rc != 0) {
                     snprintf(st.err, sizeof(st.err),
                              "hint failed (instruction %lld)",
@@ -485,8 +508,8 @@ int gnark_tpu_solve(
                     ok = false;
                 } else {
                     for (int32_t j = 0; j < n_out; j++) {
-                        Fe raw;
-                        memcpy(raw.v, hout.data() + 4 * j, 32);
+                        Fe<NL> raw;
+                        memcpy(raw.v, houtr.data() + NL * j, NL * 8);
                         u32 w = cs.outputs[o0 + j];
                         fe_to_mont(raw, st.values[w], cs.F);
                         st.solved[w] = 1;
@@ -574,21 +597,63 @@ int gnark_tpu_solve(
                      (long long)i);
             return 2;
         }
-        Fe raw;
+        Fe<NL> raw;
         fe_from_mont(st.values[i], raw, cs.F);
-        memcpy(values_io + 4 * i, raw.v, 32);
+        memcpy(values_io + NL * i, raw.v, NL * 8);
         solved_io[i] = 1;
     }
     for (int64_t i = 0; i < n_r1c; i++) {
-        Fe raw;
+        Fe<NL> raw;
         fe_from_mont(st.a[i], raw, cs.F);
-        memcpy(abc_out + 4 * i, raw.v, 32);
+        memcpy(abc_out + NL * i, raw.v, NL * 8);
         fe_from_mont(st.b[i], raw, cs.F);
-        memcpy(abc_out + 4 * (n_r1c + i), raw.v, 32);
+        memcpy(abc_out + NL * (n_r1c + i), raw.v, NL * 8);
         fe_from_mont(st.c[i], raw, cs.F);
-        memcpy(abc_out + 4 * (2 * n_r1c + i), raw.v, 32);
+        memcpy(abc_out + NL * (2 * n_r1c + i), raw.v, NL * 8);
     }
     return 0;
+}
+
+extern "C" {
+
+// returns 0 on success; on failure, err_out gets the message.
+// values_io: (n_wires x nlimbs) u64 raw little-endian; input wires
+// pre-set with solved_io[i] = 1. On success all wires filled (raw
+// form) and abc_out (3 x n_r1c x nlimbs) holds the r1cs evaluation
+// vectors. nlimbs selects the field width (4 or 6 x 64-bit limbs).
+int gnark_tpu_solve(
+    int64_t nlimbs,
+    const u64 *p_le, const u64 *r2_le, u64 n0inv,
+    const u64 *consts_raw, int64_t n_consts,
+    const u32 *terms, int64_t n_terms,
+    const u32 *r1c_off, int64_t n_r1c,
+    const u32 *scs_data, int64_t n_scs,
+    const int64_t *inst, int64_t n_inst,
+    const u32 *outputs,
+    const u32 *hint_in_off,
+    const int64_t *levels_flat, const u32 *level_off, int64_t n_levels,
+    hint_cb_t hint_cb,
+    int64_t n_wires,
+    u64 *values_io, uint8_t *solved_io,
+    u64 *abc_out,
+    char *err_out, int64_t err_len) {
+    if (nlimbs == 4)
+        return solve_impl<4>(p_le, r2_le, n0inv, consts_raw, n_consts,
+                             terms, n_terms, r1c_off, n_r1c, scs_data,
+                             n_scs, inst, n_inst, outputs, hint_in_off,
+                             levels_flat, level_off, n_levels, hint_cb,
+                             n_wires, values_io, solved_io, abc_out,
+                             err_out, err_len);
+    if (nlimbs == 6)
+        return solve_impl<6>(p_le, r2_le, n0inv, consts_raw, n_consts,
+                             terms, n_terms, r1c_off, n_r1c, scs_data,
+                             n_scs, inst, n_inst, outputs, hint_in_off,
+                             levels_flat, level_off, n_levels, hint_cb,
+                             n_wires, values_io, solved_io, abc_out,
+                             err_out, err_len);
+    snprintf(err_out, err_len, "unsupported limb count %lld",
+             (long long)nlimbs);
+    return 3;
 }
 
 }  // extern "C"

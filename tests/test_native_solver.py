@@ -57,3 +57,44 @@ def test_native_commitment_and_lookup():
     py = solve(cs, pub, sec)
     nat = solve_native(cs, pub, sec)
     assert nat.values == py.values
+
+
+def test_native_bw6_761_six_limbs():
+    """BW6-761 fr is 377 bits -> exercises the NL=6 template
+    instantiation (native/solver.cpp dispatch)."""
+    from gnark_tpu.native import supports
+
+    F = fields.FIELDS["bw6_761_fr"]
+    cs = compile_circuit(Cubic(), F)
+    assert supports(cs)
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    nat = solve_native(cs, pub, sec)
+    py = solve(cs, pub, sec)
+    assert nat.values == py.values
+    assert nat.a == py.a and nat.b == py.b and nat.c == py.c
+
+
+def test_native_scs_commitment_rows():
+    """SCS PLONK commitment rows (COMMITTED/COMMITMENT markers) are
+    skipped by the native solver like the Python one."""
+    from gnark_tpu.frontend.scs import SCSBuilder
+    from gnark_tpu.std.lookup import Table
+    from gnark_tpu.frontend import Circuit, Public, Secret
+    SBOX = [((5 * i + 1) ** 2) % 127 for i in range(8)]
+
+    class LC(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            t = Table(api)
+            for v in SBOX:
+                t.insert(v)
+            api.assert_is_equal(t.lookup(self.x)[0], self.y)
+
+    cs = compile_circuit(LC(), fields.BN254_FR, builder_cls=SCSBuilder)
+    assert any(c.commitment for c in cs.sparse)
+    pub, sec = witness(LC(x=3, y=SBOX[3]), cs)
+    py = solve(cs, pub, sec)
+    nat = solve_native(cs, pub, sec)
+    assert nat.values == py.values
