@@ -1,0 +1,247 @@
+"""Pallas mega-kernel MSM: VMEM-resident buckets, no XLA gather/scatter.
+
+This is the TPU-native answer to gnark-crypto's `MultiExp` hot path
+(reference backend/groth16/bn254/prove.go:187-305, ~80% of prove time).
+The round-1 scan kernel (pippenger.py) spent ~90% of its time in XLA's
+row-at-a-time bucket scatter (~0.37us/row measured on v5e); this kernel
+keeps every bucket in VMEM for the whole accumulation and replaces
+gather/scatter with DENSE masked selects over the bucket axis — for
+B = 128 buckets the mask work (~2*B*48 lane-ops per point-window pair)
+costs about the same as the EC mixed-add itself, and everything is
+static shapes + full-width VPU ops (no dynamic indexing).
+
+Algorithm (signed-digit Pippenger):
+  * scalars -> signed c-bit digits d in [-2^(c-1), 2^(c-1)], so only
+    B = 2^(c-1) bucket magnitudes per window (sign flips y on the fly);
+  * ONE pallas kernel streams points: each grid step DMAs 128 points;
+    128/G unrolled substeps each perform one complete mixed add of
+    width W*G (lane (w,g) owns a private bank of B buckets ->
+    collision-free by construction); the bucket state (3, L, T, B)
+    lives in the kernel OUTPUT block, which persists across the
+    sequential TPU grid (reduce pattern);
+  * XLA epilogue: fold the G group copies (pairwise tree), reduce each
+    window's buckets with the work-efficient halving identity
+      sum_{j=1..M} j*A_j = 2*sum_k k*(A_{2k-1}+A_{2k}) - sum_k A_{2k-1}
+    (~2*W*B adds, geometric widths), then a Horner ladder over windows.
+
+EC work: n*W mixed adds (the same op count as CPU Pippenger) plus
+~5*W*B epilogue adds, all through the fused pallas group kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnark_tpu.fields import FIELDS
+from gnark_tpu.ff.mont import FF
+from gnark_tpu.ff.pallas_mont import TFF
+from gnark_tpu.ec.pallas_ec import _jac_add_mixed_t, _interpret
+from gnark_tpu.ec.weierstrass import jac_inf
+from gnark_tpu.msm.pippenger import (_group_ops, _suffix_sums,
+                                     window_digits)
+from gnark_tpu.utils.jaxutil import match_vma
+
+C_BITS = 8
+BUCKETS = 1 << (C_BITS - 1)       # 128 bucket magnitudes per window
+_VMEM_CAP = 7 << 20               # bucket-state budget (bytes)
+
+
+def _chunk(G: int) -> int:
+    """Points DMA'd per grid step: 128 (lane-aligned) on TPU, where the
+    kernel body unrolls 128/G substeps; G (one substep, small traced
+    body) under the CPU interpreter, where compile time of the unrolled
+    body dominates and DMA alignment is irrelevant."""
+    return G if _interpret() else 128
+
+
+def signed_digits(scalars, nbits: int, c: int):
+    """(n, K) 16-bit limbs -> (W, n) int32 signed digits, |d| <= 2^(c-1).
+
+    Borrow recoding: raw window t plus carry; when t >= 2^(c-1) emit
+    t - 2^c and carry 1. An extra window absorbs the final carry only
+    when the top raw window can actually overflow.
+    """
+    raw = window_digits(scalars, nbits, c)          # (n, W0) in [0, 2^c)
+    n, W0 = raw.shape
+    half = 1 << (c - 1)
+    full = 1 << c
+    top_bits = nbits - (W0 - 1) * c                 # bits in top window
+    W = W0 + (1 if (1 << top_bits) >= half else 0)
+    outs = []
+    carry = jnp.zeros((n,), jnp.int32)
+    for w in range(W):
+        t = (raw[:, w] if w < W0 else jnp.zeros((n,), jnp.int32)) + carry
+        hi = (t >= half).astype(jnp.int32)
+        outs.append(t - hi * full)
+        carry = hi
+    return jnp.stack(outs, axis=0)                  # (W, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _tff(name: str) -> TFF:
+    return TFF(FIELDS[name])
+
+
+def _geometry(W: int, L: int):
+    """(G, T_pad): maximize add width under the bucket VMEM budget.
+    T_pad rounds W*G up to the 128-lane tile; dead lanes are masked."""
+    best = (1, 128)
+    for G in (16, 8, 4, 2, 1):
+        T = -(-W * G // 128) * 128
+        if 3 * L * T * BUCKETS * 4 <= _VMEM_CAP:
+            return G, T
+    return best
+
+
+def _lane_digits(digits, inf, G: int, T: int, ck: int):
+    """(W, n) signed digits -> (steps*sub, T) per-lane digit rows.
+
+    Lane t of substep row (i*sub + s) owns window w = t // G and point
+    g = t % G of that substep's G points, i.e. point i*ck + s*G + g.
+    Digits of infinity points are zeroed (lane skips). This runs in
+    XLA (reshape/transpose are free there); Mosaic cannot reshape
+    (L, W, G) -> (L, W*G) in-kernel, so the kernel gets flat rows."""
+    W, n = digits.shape
+    d = jnp.where(inf[None, :], 0, digits)
+    sub = ck // G
+    steps = n // ck
+    d = d.reshape(W, steps, sub, G).transpose(1, 2, 0, 3)
+    d = d.reshape(steps * sub, W * G)
+    if T > W * G:
+        d = jnp.pad(d, ((0, 0), (0, T - W * G)))
+    return d
+
+
+def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
+    B = BUCKETS
+    sub = _chunk(G) // G
+
+    def kernel(pcol, onecol, xT, yT, sd, bk):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            bk[:] = jnp.zeros_like(bk)
+
+        fb = f.bind(pcol[:], onecol[:])
+        # bucket index on the SUBLANE axis: mask (B, T) needs no
+        # transpose (iota rows vs per-lane idx broadcast)
+        iota_B = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
+        lane_g = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % G
+
+        for s in range(sub):
+            d = sd[s]                                 # (T,) int32
+            mag = jnp.abs(d)
+            valid = mag > 0                           # (T,)
+            neg = d < 0
+            idx = mag - 1                             # -1 on dead lanes
+
+            # broadcast the substep's G points across their W lanes by
+            # per-group lane selects (no in-kernel reshape)
+            xb = jnp.zeros((L, T), xT.dtype)
+            yb = jnp.zeros((L, T), yT.dtype)
+            for g in range(G):
+                selg = lane_g == g                    # (1, T)
+                xb = jnp.where(selg, xT[:, s * G + g][:, None], xb)
+                yb = jnp.where(selg, yT[:, s * G + g][:, None], yb)
+            yb = jnp.where(neg[None, :], fb.neg(yb), yb)
+
+            mask = (iota_B == idx[None, :]) & valid[None, :]   # (B, T)
+            mu = mask.astype(jnp.int32)
+
+            allb = bk[:]                              # (3, L, B, T)
+            # one-hot masked sublane sum; via int32 (limbs < 2^16, one
+            # hit per lane) — Mosaic has no unsigned reductions
+            cur = (allb.astype(jnp.int32) * mu[None, None]).sum(
+                axis=2).astype(jnp.uint32)            # (3, L, T)
+
+            new = _jac_add_mixed_t(
+                fb, (cur[0], cur[1], cur[2]), xb, yb, ~valid)
+            neww = jnp.stack(new, axis=0)             # (3, L, T)
+
+            bk[:] = jnp.where(mask[None, None], neww[:, :, None, :], allb)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _msm_device(ff: FF, points, digits, W: int):
+    """points: (x, y, inf) with n a multiple of CHUNK; digits (W, n)."""
+    f = _tff(ff.p.name)
+    L = ff.n
+    B = BUCKETS
+    G, T = _geometry(W, L)
+    x, y, inf = points
+    n = x.shape[0]
+    ck = _chunk(G)
+    steps = n // ck
+    sub = ck // G
+    sd = _lane_digits(digits, inf, G, T, ck)
+
+    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bk = pl.pallas_call(
+        _accumulate_kernel(f, W, G, L, T),
+        out_shape=jax.ShapeDtypeStruct((3, L, B, T), jnp.uint32),
+        grid=(steps,),
+        in_specs=[cspec, cspec,
+                  pl.BlockSpec((L, ck), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((L, ck), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((sub, T), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((3, L, B, T), lambda i: (0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(*f.consts(), x.T, y.T, sd)
+
+    # lanes -> (W, G, B, L) standard layout, drop dead lanes
+    coords = tuple(
+        jnp.transpose(bk[i], (2, 1, 0))[: W * G].reshape(W, G, B, L)
+        for i in range(3))
+
+    add_fn, _, double_fn = _group_ops(ff)
+
+    # fold group copies (suffix over G, take slot 0) — O(1) add-graph
+    # instantiations per reduction (see pippenger._suffix_sums note)
+    P = _suffix_sums(ff, coords, G, axis=1, add_fn=add_fn)
+    P = tuple(a[:, 0] for a in P)                     # (W, B, L)
+
+    # weighted bucket reduction: magnitude of bucket i is i+1, so
+    # sum_i (i+1)*P_i = double suffix-sum over ALL B buckets
+    suf = _suffix_sums(ff, P, B, axis=1, add_fn=add_fn)
+    tot = _suffix_sums(ff, suf, B, axis=1, add_fn=add_fn)
+    tot = tuple(a[:, 0] for a in tot)                 # (W, L)
+
+    # Horner over windows, top-down: R = 2^c * R + T_w
+    def win_body(i, R):
+        R = jax.lax.fori_loop(0, C_BITS,
+                              lambda _, S: double_fn(ff, S), R)
+        Tw = tuple(a[W - 1 - i][None] for a in tot)
+        return add_fn(ff, R, Tw)
+
+    R0 = tuple(match_vma(a, x) for a in jac_inf(ff, (1,)))
+    R = jax.lax.fori_loop(0, W, win_body, R0)
+    return tuple(a[0] for a in R)
+
+
+def msm_bucket(ff: FF, points, scalars, nbits: int):
+    """MSM via the VMEM bucket kernel; same contract as pippenger.msm
+    (points (x, y, inf) leading dim n, scalars (n, K) plain limbs)."""
+    x, y, inf = points
+    n = x.shape[0]
+    n_pad = max(-(-n // 128) * 128, 128)
+    pad = n_pad - n
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        y = jnp.concatenate([y, jnp.zeros((pad,) + y.shape[1:], y.dtype)])
+        inf = jnp.concatenate([inf, jnp.ones((pad,), bool)])
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad, scalars.shape[1]), scalars.dtype)])
+    digits = signed_digits(scalars, nbits, C_BITS)
+    return _msm_device(ff, (x, y, inf), digits, digits.shape[0])
