@@ -81,6 +81,57 @@ class ExtField:
             e >>= 1
         return r
 
+    def _zeta6(self):
+        """A primitive d-th root of unity in Fq (Galois generator for
+        Fq[w]/(w^d - xi): sigma(w) = zeta*w)."""
+        if hasattr(self, "_z6"):
+            return self._z6
+        f = self.base
+        q = f.p ** 2 if isinstance(f, Fp2) else f.p
+        assert (q - 1) % self.d == 0
+        k = (q - 1) // self.d
+        seed = 2
+        while True:
+            g = f.from_int(seed) if not isinstance(f, Fp2) \
+                else (seed % f.base.p, 1)
+            z = pow_in(f, g, k)
+            # primitive iff z^(d/l) != 1 for prime l | d
+            ok = not f.eq(z, f.one)
+            for l in (2, 3):
+                if self.d % l == 0 and f.eq(
+                        pow_in(f, z, self.d // l), f.one):
+                    ok = False
+            if ok:
+                self._z6 = z
+                return z
+            seed += 1
+
+    def conjugates(self, a):
+        """sigma_i(a) for i = 1..d-1 (sigma: w -> zeta*w)."""
+        z = self._zeta6()
+        f = self.base
+        outs = []
+        for i in range(1, self.d):
+            e = [f.mul(aj, pow_in(f, z, (i * j) % self.d))
+                 for j, aj in enumerate(a)]
+            outs.append(tuple(e))
+        return outs
+
+    def inv(self, a):
+        """Galois-norm inversion: inv(a) = (prod of conjugates) / N(a),
+        N(a) = a * prod sigma_i(a) lies in Fq."""
+        if self.is_zero(a):
+            return self.zero
+        prod = self.one
+        for cj in self.conjugates(a):
+            prod = self.mul(prod, cj)
+        norm = self.mul(a, prod)
+        f = self.base
+        # norm must be a base-field element (w-degree 0)
+        assert all(f.is_zero(c) for c in norm[1:]), "norm not in Fq"
+        ninv = f.inv(norm[0])
+        return tuple(f.mul(c, ninv) for c in prod)
+
 
 class Pairing:
     """Tate pairing engine for one curve."""
