@@ -3,10 +3,16 @@
 MSM is ~80% of Groth16 prove time (reference
 backend/groth16/bn254/prove.go:187-305), so points/sec is the headline
 metric (BASELINE.md target list). Baseline: gnark-crypto CPU MultiExp —
-no published in-repo number (BASELINE.md), so vs_baseline is reported
-against a conservative reference-CPU estimate of 1e6 points/s for
-2^16-scale MSMs on server CPUs; this will be replaced by a measured
-gnark number when a Go toolchain is available to run it.
+no published in-repo number (BASELINE.md) and no Go toolchain in this
+image to measure one, so vs_baseline is reported against a
+conservative reference-CPU estimate of 1e6 points/s for 2^16-scale
+MSMs on server CPUs.
+
+Implementation benched: the VMEM-resident bucket mega-kernel
+(gnark_tpu/msm/bucket_kernel.py). Timing method: the axon tunnel has
+~300ms fixed dispatch latency, so one-shot wall times mislead; we
+chain K data-dependent MSMs inside ONE jit and fit time vs K — the
+slope is the true per-MSM device time.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,15 +33,15 @@ def main():
     import jax.numpy as jnp
     from gnark_tpu.ec import curves, host
     from gnark_tpu.ff import get_ff
-    from gnark_tpu.msm.pippenger import _msm_kernel, _pick_params, window_digits
+    from gnark_tpu.msm import bucket_kernel as bk
 
     n = 1 << 16
     curve = curves.CURVES["bn254"]
     ffp = get_ff(curve.fp.name)
     ffr = get_ff(curve.fr.name)
 
-    # deterministic input: points = (i+1)*G via doubling chain on host
-    # (cheap: reuse a small pool, MSM cost does not depend on point values)
+    # deterministic input: points from a doubling chain on host
+    # (cheap: reuse a small pool, MSM cost does not depend on values)
     pool = 64
     f1 = curve.host_fp
     pts, cur = [], curve.g1
@@ -53,31 +59,40 @@ def main():
     ks = [int.from_bytes(rng.bytes(31), "little") % curve.fr.modulus
           for _ in range(n)]
     scalars = jnp.asarray(ffr.encode(ks, mont=False))
-
     nbits = curve.fr.bits
-    # pinned (not auto) so the driver-run compile stays ~1 min on the
-    # remote compiler: c=8/G=128 measured 41s compile, ~1.3s steady
-    c, groups = 8, 128
-    digits = window_digits(scalars, nbits, c)
 
-    fn = jax.jit(lambda p, d: _msm_kernel(ffp, p, d, nbits, c, groups))
+    def chain(K):
+        # points/scalars as ARGUMENTS (not closure constants) so the
+        # persistent compile cache keys only on shapes
+        @jax.jit
+        def f(xa, ya, infa, s):
+            def body(i, carry):
+                s_, acc = carry
+                r = bk.msm_bucket(ffp, (xa, ya, infa), s_, nbits)
+                s2 = jnp.roll(s_, 1, axis=0)   # next iter differs
+                acc = tuple(a ^ b for a, b in zip(acc, r))
+                return (s2, acc)
+            z = tuple(jnp.zeros((xa.shape[1],), jnp.uint32)
+                      for _ in range(3))
+            _, acc = jax.lax.fori_loop(0, K, body, (s, z))
+            return acc
+        return f
 
-    def run_and_fetch():
-        # fetch (not block_until_ready): the remote-TPU tunnel's
-        # block_until_ready can return before execution finishes;
-        # np.asarray is the only reliable barrier.
-        R = fn((x, y, inf), digits)
-        return [np.asarray(a) for a in R]
+    times = {}
+    for K in (1, 3):
+        f = chain(K)
+        r = f(x, y, inf, scalars)
+        _ = tuple(np.asarray(a) for a in r)   # compile + barrier
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(x, y, inf, scalars)
+            _ = tuple(np.asarray(a) for a in r)
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
 
-    run_and_fetch()                    # compile + first run
-    run_and_fetch()                    # steady state
-    iters = 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run_and_fetch()
-    dt = (time.perf_counter() - t0) / iters
-
-    pps = n / dt
+    per_msm = (times[3] - times[1]) / 2
+    pps = n / per_msm
     baseline_pps = 1e6  # conservative gnark-CPU estimate, see docstring
     print(json.dumps({
         "metric": "bn254_g1_msm_2^16_points_per_sec",

@@ -1,0 +1,97 @@
+"""Multi-chip sharding correctness on the 8-virtual-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8; the driver
+separately dryruns real multi-chip via __graft_entry__).
+
+Asserts sharded == unsharded for the two collective code paths
+(parallel/sharded.py): data-parallel MSM with partial folding, and
+batch-sharded NTT.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from gnark_tpu.ec import curves, host
+from gnark_tpu.ec.weierstrass import jac_to_affine
+from gnark_tpu.ff import get_ff
+from gnark_tpu.msm import msm
+from gnark_tpu.ntt import Domain
+from gnark_tpu.parallel.sharded import msm_sharded, ntt_batch_sharded
+
+CURVE = curves.CURVES["bn254"]
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devs = np.array(jax.devices()[:8])
+    assert devs.size == 8, "conftest must provision 8 virtual devices"
+    return Mesh(devs, ("shard",))
+
+
+def _points_scalars(n, seed=3):
+    ffp = get_ff(CURVE.fp.name)
+    ffr = get_ff(CURVE.fr.name)
+    f1 = CURVE.host_fp
+    pts, cur = [], CURVE.g1
+    for _ in range(n):
+        pts.append(cur)
+        cur = host.ec_add(f1, cur, CURVE.g1)
+    x = jnp.asarray(ffp.encode([p[0] for p in pts]))
+    y = jnp.asarray(ffp.encode([p[1] for p in pts]))
+    inf = jnp.zeros((n,), bool)
+    rng = np.random.RandomState(seed)
+    ks = [int.from_bytes(rng.bytes(31), "little") % CURVE.fr.modulus
+          for _ in range(n)]
+    scalars = jnp.asarray(ffr.encode(ks, mont=False))
+    return ffp, (x, y, inf), scalars, ks
+
+
+def test_msm_sharded_matches_single_device(mesh8):
+    n = 512
+    ffp, points, scalars, ks = _points_scalars(n)
+    nbits = CURVE.fr.bits
+    R_sh = msm_sharded(ffp, points, scalars, nbits, mesh8, axis="shard")
+    R_1d = msm(ffp, points, scalars, nbits)
+    ax, ay, ainf = jac_to_affine(ffp, R_sh)
+    bx, by, binf = jac_to_affine(ffp, R_1d)
+    assert not bool(np.asarray(ainf)) and not bool(np.asarray(binf))
+    assert int(ffp.decode(np.asarray(ax))) == int(ffp.decode(np.asarray(bx)))
+    assert int(ffp.decode(np.asarray(ay))) == int(ffp.decode(np.asarray(by)))
+    # and against the host oracle
+    total = sum(k * (i + 1) for i, k in enumerate(ks)) % CURVE.fr.modulus
+    want = host.ec_mul(CURVE.host_fp, CURVE.g1, total)
+    assert (int(ffp.decode(np.asarray(ax))),
+            int(ffp.decode(np.asarray(ay)))) == want
+
+
+def test_ntt_batch_sharded_matches_single_device(mesh8):
+    ffr = get_ff(CURVE.fr.name)
+    n, B = 64, 8
+    dom = Domain(ffr, n)
+    q = CURVE.fr.modulus
+    rng = np.random.RandomState(11)
+    polys = [[int.from_bytes(rng.bytes(31), "little") % q
+              for _ in range(n)] for _ in range(B)]
+    enc = jnp.asarray(np.stack([ffr.encode(p) for p in polys]))
+    mesh = mesh8
+    out_sh = np.asarray(ntt_batch_sharded(dom, enc, mesh, axis="shard"))
+    for b in range(B):
+        want = np.asarray(dom.fft(jnp.asarray(ffr.encode(polys[b]))))
+        assert (out_sh[b] == want).all()
+
+
+def test_ntt_batch_sharded_inverse_roundtrip(mesh8):
+    ffr = get_ff(CURVE.fr.name)
+    n, B = 32, 8
+    dom = Domain(ffr, n)
+    q = CURVE.fr.modulus
+    rng = np.random.RandomState(13)
+    polys = [[int.from_bytes(rng.bytes(31), "little") % q
+              for _ in range(n)] for _ in range(B)]
+    enc = jnp.asarray(np.stack([ffr.encode(p) for p in polys]))
+    fwd = ntt_batch_sharded(dom, enc, mesh8, axis="shard")
+    back = np.asarray(ntt_batch_sharded(dom, fwd, mesh8, axis="shard",
+                                        inverse=True))
+    assert (back == np.asarray(enc)).all()
