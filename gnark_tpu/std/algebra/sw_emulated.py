@@ -136,12 +136,36 @@ def ecdsa_verify(api, curve_params: SWParams, pub, msg_hash_limbs,
     P2 = curve.scalar_mul_bits(pub, scalar_bits(u2))
     Rp = curve.add_distinct(P1, P2)
 
-    # assert R'.x == r as integers (r < n < p: compare the fp element
-    # against the fr element limb-wise)
-    fp = curve.f
-    rx_as_fr = emu.Element(r_limbs)
-    for a, b in zip(Rp[0].limbs, rx_as_fr.limbs):
-        # R'.x may exceed n in full generality (r = R'.x mod n); the
-        # common case R'.x < n is asserted here (reference handles the
-        # wraparound branch too — follow-up)
-        api.assert_is_equal(a, b)
+    # assert r == R'.x mod n, INCLUDING the R'.x >= n wraparound branch
+    # (reference std/signature/ecdsa ecdsa.go). Emulated elements are
+    # not canonical by construction, so first pin R'.x's canonical
+    # representative (< p), then reduce it mod n limb-wise:
+    #   R'.x mod n = sum_j (2^(64j) mod n) * limb_j   (mod n)
+    n_mod = curve_params.fr.modulus
+
+    def assert_bits_leq(bits, bound):
+        # AND-chain over bound's zero bits (mustBeLessOrEqCst) in
+        # public api ops so the test engine can execute it
+        p_acc = 1
+        for i in range(len(bits) - 1, -1, -1):
+            if (bound >> i) & 1:
+                p_acc = api.mul(p_acc, bits[i])
+            else:
+                api.assert_is_equal(api.mul(p_acc, bits[i]), 0)
+
+    rx_bits = []
+    for l in Rp[0].limbs:
+        rx_bits.extend(api.to_binary(l, emu.B))
+    assert_bits_leq(rx_bits, curve_params.fp.modulus - 1)
+    # r and s must be canonical too (no r+n malleability)
+    for limbs in (r_limbs, s_limbs):
+        bits = []
+        for l in limbs:
+            bits.extend(api.to_binary(l, emu.B))
+        assert_bits_leq(bits, n_mod - 1)
+    redc = fr.from_const(0)
+    for j, l in enumerate(Rp[0].limbs):
+        lim = emu.Element([l] + [0] * (emu.K - 1))
+        term = fr.mul(fr.from_const(pow(2, emu.B * j, n_mod)), lim)
+        redc = fr.add(redc, term)
+    fr.assert_is_equal(redc, R)
