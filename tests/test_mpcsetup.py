@@ -72,6 +72,7 @@ def test_phase2_ceremony_to_keys():
     assert not groth16.verify(proof, vk, [36])
 
 
+@pytest.mark.slow
 def test_phase2_tampered_contribution_rejected():
     import dataclasses
     import random
@@ -93,6 +94,7 @@ def test_phase2_tampered_contribution_rejected():
     assert not mpcsetup.verify_phase2_link(p0, bad, k1)
 
 
+@pytest.mark.slow
 def test_phase1_pok_replay_rejected():
     """A contribution replayed onto a different chain state must fail
     (the PoK base binds the previous-state transcript)."""

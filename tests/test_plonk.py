@@ -99,6 +99,7 @@ def test_plonk_lookup_commitment():
     assert not plonk.verify(t, vk, pub)
 
 
+@pytest.mark.slow
 def test_plonk_rangecheck_commitment():
     """Commit-based log-derivative range check under PLONK."""
     from gnark_tpu.std.rangecheck import check_many_logderiv
@@ -119,6 +120,7 @@ def test_plonk_rangecheck_commitment():
     assert plonk.verify(proof, vk, pub)
 
 
+@pytest.mark.slow
 def test_plonk_multi_commitments():
     """Two independent api.commit calls -> two Qcp columns."""
     class TwoCommits(Circuit):
