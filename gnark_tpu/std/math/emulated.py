@@ -1,20 +1,38 @@
 """Emulated (foreign-field) arithmetic (reference std/math/emulated).
 
-Non-native field elements are k limbs of b bits (b=64, k=4 covers all
-256-bit fields over our >=253-bit native fields). Multiplication and
-reduction are checked with the limb-polynomial carry technique the
-reference uses (emulated/field_mul.go): for A*B = Q*p + R, the limb
-polynomial t(X) = A(X)B(X) - Q(X)p(X) - R(X) vanishes at X = 2^b, which
-is enforced positionwise with range-checked carries:
+Non-native field elements are k limbs of B=64 bits (k chosen from the
+modulus size). Correctness of every operation is enforced with the
+limb-polynomial carry technique the reference uses
+(emulated/field_mul.go): for an identity V = Q*p + R, the limb
+polynomial t(X) = V(X) - Q(X)p(X) - R(X) vanishes at X = 2^B, which is
+enforced positionwise with range-checked carries:
 
-    t_l + c_{l-1} = c_l * 2^b,   |c_l| < 2^aux  (offset-encoded)
+    t_l + c_{l-1} = c_l * 2^B,   |c_l| < 2^aux  (offset-encoded)
 
-Q and R come from hints; limbs are range-checked on creation. v0 keeps
-every element reduced (< 2^(b*k)) and canonical results come from the
-hints; add/sub use the same machinery with degree-0 quotients.
+v2 — generalized **sum_of_products**: the whole expression
 
-Parameters provided for secp256k1 (fp/fr), P-256, BN254 fp, BLS12-381
-fr (reference emparams package).
+    r = sum_i c_i * a_i * b_i  +  sum_j d_j * x_j  +  const   (mod p)
+
+is certified with ONE hint and ONE carry chain (c_i, d_j small host
+integers). This is the lazy/deferred-reduction economics of the
+reference (emulated/field_mul.go mulMod + Eval): tower-field formulas
+(Fp2/Fp12 multiplication, line evaluations, curve formulas) become a
+handful of carry chains instead of one reduction per intermediate
+product. Negative terms are handled by a compile-time offset S*p >= 0
+added to both sides, so hinted quotients stay non-negative.
+
+Soundness notes:
+- every hinted limb is range-checked to B bits on creation;
+- elements are *representationally* non-canonical (value < 2^(B*k),
+  not < p) exactly like the reference; `assert_is_equal` is modular
+  and sound; `is_zero`/`to_bits` go through `reduce_strict`, which
+  pins r < p with an integer-comparison witness (reference
+  ReduceStrict);
+- carry magnitudes satisfy 2^(aux+B+2) < native modulus so the field
+  equation c*2^B = t + carry implies the integer identity.
+
+Parameters provided for secp256k1 (fp/fr), P-256, BN254 fp/fr,
+BLS12-381 fr (reference emparams package).
 """
 
 from __future__ import annotations
@@ -24,19 +42,25 @@ import dataclasses
 from gnark_tpu.constraint.hints import register_hint
 
 B = 64                  # bits per limb
-K = 4                   # limbs
-AUX = 72                # carry magnitude bound (bits)
+K = 4                   # default limb count (<=256-bit moduli)
 MASK = (1 << B) - 1
+COEF_OFF = 1 << 32      # hint encoding offset for small signed coeffs
+CONST_OFF = 1 << 128    # hint encoding offset for the constant term
 
 
 @dataclasses.dataclass(frozen=True)
 class EmuParams:
     name: str
     modulus: int
+    nb_limbs: int = 0    # 0 -> derived from modulus size
+
+    @property
+    def k(self) -> int:
+        return self.nb_limbs or max(K, -(-self.modulus.bit_length() // B))
 
     @property
     def limbs(self):
-        return [(self.modulus >> (B * i)) & MASK for i in range(K)]
+        return [(self.modulus >> (B * i)) & MASK for i in range(self.k)]
 
 
 SECP256K1_FP = EmuParams(
@@ -51,54 +75,85 @@ P256_FP = EmuParams(
 BN254_FP_EMU = EmuParams(
     "bn254_fp",
     21888242871839275222246405745257275088696311157297823662689037894645226208583)
+BN254_FR_EMU = EmuParams(
+    "bn254_fr",
+    21888242871839275222246405745257275088548364400416034343698204186575808495617)
 BLS12_381_FR_EMU = EmuParams(
     "bls12_381_fr",
     0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001)
 
 
-@register_hint("emu_mulmod")
-def _emu_mulmod(q, inputs):
-    """[k, p_limbs..., a_limbs..., b_limbs...] -> r (K), q (K+1) limbs.
-    (The foreign modulus exceeds the native field, so it travels as
-    limbs.)"""
-    k = inputs[0]
-    p = sum(v << (B * i) for i, v in enumerate(inputs[1:1 + k]))
-    a = sum(v << (B * i) for i, v in enumerate(inputs[1 + k:1 + 2 * k]))
-    b = sum(v << (B * i) for i, v in enumerate(inputs[1 + 2 * k:1 + 3 * k]))
-    prod = a * b
-    quo, rem = divmod(prod, p)
-    return ([(rem >> (B * i)) & MASK for i in range(k)]
-            + [(quo >> (B * i)) & MASK for i in range(k + 1)])
+def _val(limbs, k, off=0):
+    return sum(v << (B * i) for i, v in enumerate(limbs[off:off + k]))
+
+
+@register_hint("emu_sop")
+def _emu_sop(q, inputs):
+    """Generalized sum-of-products witness.
+
+    inputs: [k, nq, nprod, nlin,
+             p (k limbs), S (nq limbs), const+CONST_OFF,
+             nprod x (coef+COEF_OFF, a k limbs, b k limbs),
+             nlin  x (coef+COEF_OFF, x k limbs)]
+    outputs: r (k limbs), q' = (v - r)/p + S (nq limbs)
+    """
+    k, nq, nprod, nlin = inputs[0], inputs[1], inputs[2], inputs[3]
+    i = 4
+    p = _val(inputs, k, i); i += k
+    S = _val(inputs, nq, i); i += nq
+    const = inputs[i] - CONST_OFF; i += 1
+    v = const
+    for _ in range(nprod):
+        c = inputs[i] - COEF_OFF; i += 1
+        a = _val(inputs, k, i); i += k
+        b = _val(inputs, k, i); i += k
+        v += c * a * b
+    for _ in range(nlin):
+        c = inputs[i] - COEF_OFF; i += 1
+        x = _val(inputs, k, i); i += k
+        v += c * x
+    r = v % p
+    qp = (v - r) // p + S
+    assert qp >= 0, "emu_sop: offset S too small"
+    return ([(r >> (B * i)) & MASK for i in range(k)]
+            + [(qp >> (B * i)) & MASK for i in range(nq)])
 
 
 @register_hint("emu_invmod")
 def _emu_invmod(q, inputs):
-    """[k, p_limbs..., a_limbs...] -> a^-1 mod p limbs (K); 0 -> 0."""
+    """[k, p_limbs..., a_limbs...] -> a^-1 mod p limbs (k); 0 -> 0."""
     k = inputs[0]
-    p = sum(v << (B * i) for i, v in enumerate(inputs[1:1 + k]))
-    a = sum(v << (B * i) for i, v in enumerate(inputs[1 + k:1 + 2 * k]))
-    inv = pow(a, -1, p) if a % p else 0
+    p = _val(inputs, k, 1)
+    a = _val(inputs, k, 1 + k) % p
+    inv = pow(a, -1, p) if a else 0
     return [(inv >> (B * i)) & MASK for i in range(k)]
 
 
-@register_hint("emu_addmod")
-def _emu_addmod(q, inputs):
-    """[k, sign, p_limbs..., a..., b...] -> r limbs (K), quotient.
+@register_hint("emu_gap")
+def _emu_gap(q, inputs):
+    """[k, p_limbs..., r_limbs...] -> limbs of p - 1 - r (0 if r >= p).
 
-    sign=0: r = (a+b) mod p; sign=1: r = (a-b) mod p."""
+    Witness for reduce_strict's r < p integer comparison."""
     k = inputs[0]
-    sign = inputs[1]
-    p = sum(v << (B * i) for i, v in enumerate(inputs[2:2 + k]))
-    a = sum(v << (B * i) for i, v in enumerate(inputs[2 + k:2 + 2 * k]))
-    b = sum(v << (B * i) for i, v in enumerate(inputs[2 + 2 * k:2 + 3 * k]))
-    val = a - b if sign else a + b
-    r = val % p
-    quo = (val - r) // p   # in {-1, 0, 1} for reduced inputs
-    return [(r >> (B * i)) & MASK for i in range(k)] + [quo % q]
+    p = _val(inputs, k, 1)
+    r = _val(inputs, k, 1 + k)
+    z = max(p - 1 - r, 0)
+    return [(z >> (B * i)) & MASK for i in range(k)]
+
+
+@register_hint("emu_divmod")
+def _emu_divmod(q, inputs):
+    """[k, p_limbs..., a..., b...] -> a/b mod p limbs (k); x/0 -> 0."""
+    k = inputs[0]
+    p = _val(inputs, k, 1)
+    a = _val(inputs, k, 1 + k) % p
+    b = _val(inputs, k, 1 + 2 * k) % p
+    r = a * pow(b, -1, p) % p if b else 0
+    return [(r >> (B * i)) & MASK for i in range(k)]
 
 
 class Element:
-    """Reduced foreign-field element: K limb variables, each < 2^B."""
+    """Foreign-field element: k limb variables, each < 2^B."""
 
     __slots__ = ("limbs",)
 
@@ -110,19 +165,25 @@ class EmulatedField:
     def __init__(self, api, params: EmuParams):
         self.api = api
         self.p = params.modulus
+        self.k = params.k
         self.p_limbs = params.limbs
         self.params = params
+        self.zero = self.from_const(0)
+        self.one = self.from_const(1)
 
-    # -- construction --------------------------------------------------------
+    # -- construction ---------------------------------------------------------
 
     def from_const(self, v: int) -> Element:
         v %= self.p
-        return Element([(v >> (B * i)) & MASK for i in range(K)])
+        return Element([(v >> (B * i)) & MASK for i in range(self.k)])
 
     def from_limb_vars(self, limb_vars) -> Element:
         """Witness limbs: range-check each to B bits."""
         for lv in limb_vars:
-            self.api.to_binary(lv, B)
+            if not isinstance(lv, int):
+                self.api.to_binary(lv, B)
+            else:
+                assert 0 <= lv < (1 << B)
         return Element(list(limb_vars))
 
     def to_value_mod_native(self, e: Element):
@@ -131,104 +192,186 @@ class EmulatedField:
         api = self.api
         acc = 0
         for i, l in enumerate(e.limbs):
-            acc = api.add(acc, api.mul(l, (1 << (B * i)) %
-                                       api.field()))
+            acc = api.add(acc, api.mul(l, (1 << (B * i)) % api.field()))
         return acc
 
     # -- carry-chain core -----------------------------------------------------
 
-    def _range_check_carry(self, c):
-        """|c| < 2^AUX via offset encoding."""
-        self.api.to_binary(self.api.add(c, 1 << AUX), AUX + 2)
+    def _range_check_carry(self, c, aux):
+        """|c| < 2^aux via offset encoding."""
+        self.api.to_binary(self.api.add(c, 1 << aux), aux + 2)
 
-    def _assert_poly_zero(self, coeffs):
+    def _assert_poly_zero(self, coeffs, aux):
         """Limb coefficients t_l (possibly signed circuit values) must
-        satisfy t(2^B) == 0: t_l + c_{l-1} == c_l * 2^B with bounded
-        carries (hinted via exact division)."""
+        satisfy t(2^B) == 0: t_l + c_{l-1} == c_l * 2^B with carries
+        range-checked to 2^aux (hinted via exact field division; the
+        range check is what pins the integer identity)."""
         api = self.api
+        assert aux + B + 3 < api.field().bit_length(), \
+            "carry chain would wrap the native field"
         carry = 0
-        for l, t in enumerate(coeffs[:-1]):
-            # c_l = (t_l + carry) / 2^B — solved exactly by the
-            # constraint c_l * 2^B == t_l + carry (division is exact
-            # when the identity holds; otherwise unsatisfiable given
-            # the range checks below)
+        for t in coeffs[:-1]:
             num = api.add(t, carry)
             c = api.new_hint("div", 1, num, 1 << B)[0]
             api.assert_is_equal(api.mul(c, 1 << B), num)
-            self._range_check_carry(c)
+            self._range_check_carry(c, aux)
             carry = c
         api.assert_is_equal(api.add(coeffs[-1], carry), 0)
 
-    # -- ops -------------------------------------------------------------------
+    # -- the workhorse --------------------------------------------------------
 
-    def mul(self, a: Element, b: Element) -> Element:
-        api = self.api
-        outs = api.new_hint("emu_mulmod", 2 * K + 1, K, *self.p_limbs,
-                            *a.limbs, *b.limbs)
-        r = self.from_limb_vars(outs[:K])
-        q_limbs = outs[K:]
+    def sum_of_products(self, prods=(), lins=(), const: int = 0) -> Element:
+        """r = sum c_i*a_i*b_i + sum d_j*x_j + const (mod p), certified
+        with one hint + one carry chain.
+
+        prods: iterable of (c:int, a:Element, b:Element)
+        lins:  iterable of (d:int, x:Element)
+        Coefficients must satisfy |c| < 2^31; |const| < 2^127.
+        """
+        api, k, p = self.api, self.k, self.p
+        prods = list(prods)
+        lins = list(lins)
+        assert all(abs(c) < COEF_OFF // 2 for c, _, _ in prods)
+        assert all(abs(d) < COEF_OFF // 2 for d, _ in lins)
+        assert abs(const) < CONST_OFF // 2
+
+        lim = (1 << (B * k)) - 1
+        maxneg = (sum(-c for c, _, _ in prods if c < 0) * lim * lim
+                  + sum(-d for d, _ in lins if d < 0) * lim
+                  + max(-const, 0))
+        maxpos = (sum(c for c, _, _ in prods if c > 0) * lim * lim
+                  + sum(d for d, _ in lins if d > 0) * lim
+                  + max(const, 0))
+        S = -(-maxneg // p)              # ceil: v + S*p >= 0 always
+        qmax = (maxpos + S * p) // p
+        nq = max(1, -(-qmax.bit_length() // B))
+        C = S * p + const                # >= 0 compile-time constant
+        nc = max(1, -(-C.bit_length() // B))
+
+        s_limbs = [(S >> (B * i)) & MASK for i in range(nq)]
+        assert _val(s_limbs, nq) == S, "offset S exceeds quotient width"
+        flat = []
+        for c, a, b in prods:
+            flat += [c + COEF_OFF] + a.limbs + b.limbs
+        for d, x in lins:
+            flat += [d + COEF_OFF] + x.limbs
+
+        outs = api.new_hint(
+            "emu_sop", k + nq, k, nq, len(prods), len(lins),
+            *self.p_limbs, *s_limbs, const + CONST_OFF, *flat)
+        r = self.from_limb_vars(outs[:k])
+        q_limbs = outs[k:]
         for qv in q_limbs:
             api.to_binary(qv, B)
-        # t(X) = A(X)B(X) - Q(X)p(X) - R(X), degree 2K
-        deg = 2 * K
-        coeffs = [0] * (deg + 1)
-        for i in range(K):
-            for j in range(K):
-                coeffs[i + j] = api.add(coeffs[i + j],
-                                        api.mul(a.limbs[i], b.limbs[j]))
-        for i in range(K + 1):
-            for j in range(K):
+
+        ncoef = max(2 * k - 1 if prods else k, nq + k, nc)
+        coeffs = [0] * ncoef
+        qn = api.field()
+        for c, a, b in prods:
+            cf = c % qn
+            for i in range(k):
+                for j in range(k):
+                    coeffs[i + j] = api.add(
+                        coeffs[i + j],
+                        api.mul(api.mul(a.limbs[i], b.limbs[j]), cf))
+        for d, x in lins:
+            df = d % qn
+            for i in range(k):
+                coeffs[i] = api.add(coeffs[i], api.mul(x.limbs[i], df))
+        for i in range(nc):
+            cl = (C >> (B * i)) & MASK
+            if cl:
+                coeffs[i] = api.add(coeffs[i], cl)
+        for i in range(nq):
+            for j in range(k):
                 if self.p_limbs[j]:
                     coeffs[i + j] = api.sub(
                         coeffs[i + j],
                         api.mul(q_limbs[i], self.p_limbs[j]))
-        for i in range(K):
+        for i in range(k):
             coeffs[i] = api.sub(coeffs[i], r.limbs[i])
-        self._assert_poly_zero(coeffs)
+
+        tmax = ((sum(abs(c) for c, _, _ in prods) + 1) * k << (2 * B)) \
+            + ((sum(abs(d) for d, _ in lins) + 2) << B) + (1 << B)
+        aux = max(tmax.bit_length() - B + 1, 2)
+        self._assert_poly_zero(coeffs, aux)
         return r
 
-    def _addsub(self, a: Element, b: Element, sign: int) -> Element:
-        api = self.api
-        outs = api.new_hint("emu_addmod", K + 1, K, sign, *self.p_limbs,
-                            *a.limbs, *b.limbs)
-        r = self.from_limb_vars(outs[:K])
-        quo = outs[K]   # must be in {-1, 0, 1}
-        api.assert_is_equal(
-            api.mul(quo, api.sub(quo, 1), api.add(quo, 1)), 0)
-        coeffs = [0] * (K + 1)
-        for i in range(K):
-            s = api.add(a.limbs[i], b.limbs[i]) if sign == 0 else \
-                api.sub(a.limbs[i], b.limbs[i])
-            s = api.sub(s, api.mul(quo, self.p_limbs[i]))
-            coeffs[i] = api.sub(s, r.limbs[i])
-        self._assert_poly_zero(coeffs)
-        return r
+    # -- ops ------------------------------------------------------------------
+
+    def mul(self, a: Element, b: Element) -> Element:
+        return self.sum_of_products([(1, a, b)])
+
+    def sqr(self, a: Element) -> Element:
+        return self.sum_of_products([(1, a, a)])
 
     def add(self, a: Element, b: Element) -> Element:
-        return self._addsub(a, b, 0)
+        return self.sum_of_products(lins=[(1, a), (1, b)])
 
     def sub(self, a: Element, b: Element) -> Element:
-        return self._addsub(a, b, 1)
+        return self.sum_of_products(lins=[(1, a), (-1, b)])
+
+    def neg(self, a: Element) -> Element:
+        return self.sum_of_products(lins=[(-1, a)])
+
+    def mul_const(self, a: Element, c: int) -> Element:
+        return self.sum_of_products(lins=[(c, a)])
+
+    def reduce(self, a: Element) -> Element:
+        """Re-reduce (value unchanged mod p, hinted representative)."""
+        return self.sum_of_products(lins=[(1, a)])
+
+    def reduce_strict(self, a: Element) -> Element:
+        """r == a (mod p) with r < p *enforced*: witness z >= 0
+        (range-checked limbs) with r + z = p - 1 as integers, pinned by
+        one carry chain. Reference: emulated ReduceStrict."""
+        api = self.api
+        r = self.reduce(a)
+        outs = api.new_hint("emu_gap", self.k, self.k,
+                            *self.p_limbs, *r.limbs)
+        z = self.from_limb_vars(outs)
+        pm1 = self.p - 1
+        coeffs = []
+        for i in range(self.k):
+            c = api.add(r.limbs[i], z.limbs[i])
+            coeffs.append(api.sub(c, (pm1 >> (B * i)) & MASK))
+        self._assert_poly_zero(coeffs, 2)
+        return r
 
     def inverse(self, a: Element) -> Element:
         """a^-1 mod p (requires a != 0: constrained via a*r == 1)."""
         api = self.api
-        outs = api.new_hint("emu_invmod", K, K, *self.p_limbs, *a.limbs)
+        outs = api.new_hint("emu_invmod", self.k, self.k,
+                            *self.p_limbs, *a.limbs)
         r = self.from_limb_vars(outs)
-        prod = self.mul(a, r)
-        self.assert_is_equal(prod, self.from_const(1))
+        d = self.sum_of_products([(1, a, r)], const=-1)
+        for l in d.limbs:
+            api.assert_is_equal(l, 0)
         return r
 
     def div(self, a: Element, b: Element) -> Element:
-        return self.mul(a, self.inverse(b))
+        """a/b mod p (requires b != 0: constrained via b*r == a)."""
+        api = self.api
+        outs = api.new_hint("emu_divmod", self.k, self.k,
+                            *self.p_limbs, *a.limbs, *b.limbs)
+        r = self.from_limb_vars(outs)
+        d = self.sum_of_products([(1, b, r)], lins=[(-1, a)])
+        for l in d.limbs:
+            api.assert_is_equal(l, 0)
+        # b == 0 must be rejected even when a == 0 (hint gives 0/0=0):
+        inv_b = self.inverse(b)
+        del inv_b
+        return r
 
     def is_zero(self, a: Element):
-        """1 iff a == 0 (limb-wise; elements are kept reduced)."""
+        """1 iff a == 0 (mod p) — strict-reduced first so the
+        non-canonical representative p does not fool the check."""
         api = self.api
+        r = self.reduce_strict(a)
         acc = 0
-        for l in a.limbs:
+        for l in r.limbs:
             acc = api.add(acc, l)
-        # limbs are range-checked to B bits; their sum is < 2^(B+2) so
+        # limbs are range-checked to B bits; k*2^B << native modulus so
         # sum == 0 <=> every limb == 0
         return api.is_zero(acc)
 
