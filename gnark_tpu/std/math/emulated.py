@@ -162,12 +162,17 @@ class Element:
 
 
 class EmulatedField:
-    def __init__(self, api, params: EmuParams):
+    def __init__(self, api, params: EmuParams, use_table_rc: bool = True):
         self.api = api
         self.p = params.modulus
         self.k = params.k
         self.p_limbs = params.limbs
         self.params = params
+        if use_table_rc:
+            from gnark_tpu.std import rangecheck
+            self._rc = rangecheck.checker(api).check
+        else:
+            self._rc = lambda v, n: api.to_binary(v, n) and None
         self.zero = self.from_const(0)
         self.one = self.from_const(1)
 
@@ -181,7 +186,7 @@ class EmulatedField:
         """Witness limbs: range-check each to B bits."""
         for lv in limb_vars:
             if not isinstance(lv, int):
-                self.api.to_binary(lv, B)
+                self._rc(lv, B)
             else:
                 assert 0 <= lv < (1 << B)
         return Element(list(limb_vars))
@@ -199,7 +204,7 @@ class EmulatedField:
 
     def _range_check_carry(self, c, aux):
         """|c| < 2^aux via offset encoding."""
-        self.api.to_binary(self.api.add(c, 1 << aux), aux + 2)
+        self._rc(self.api.add(c, 1 << aux), aux + 2)
 
     def _assert_poly_zero(self, coeffs, aux):
         """Limb coefficients t_l (possibly signed circuit values) must
@@ -262,7 +267,7 @@ class EmulatedField:
         r = self.from_limb_vars(outs[:k])
         q_limbs = outs[k:]
         for qv in q_limbs:
-            api.to_binary(qv, B)
+            self._rc(qv, B)
 
         ncoef = max(2 * k - 1 if prods else k, nq + k, nc)
         coeffs = [0] * ncoef

@@ -9,12 +9,96 @@ across many checked values (one shared table + one commitment).
 
 from __future__ import annotations
 
+from gnark_tpu.constraint.hints import register_hint
 from gnark_tpu.std.lookup import Table
+
+CHUNK_BITS = 12          # shared-table chunk width (reference uses
+                         # a size-driven baseLength; 12 balances table
+                         # cost vs queries for 10^4-10^6 checks)
 
 
 def check(api, v, nbits: int) -> None:
     """Assert v < 2^nbits."""
     api.to_binary(v, nbits)
+
+
+@register_hint("rc_chunks")
+def _rc_chunks(q, inputs):
+    """[v, nch, w] -> nch little-endian w-bit chunks of v."""
+    v, nch, w = inputs[0], inputs[1], inputs[2]
+    m = (1 << w) - 1
+    return [(v >> (w * i)) & m for i in range(nch)]
+
+
+class TableRangeChecker:
+    """Shared-table range checker (reference std/internal/logderivprecomp
+    + rangecheck commit path): queues (value, nbits) checks during
+    Define and finalizes ONE identity lookup table + ONE log-derivative
+    commitment for all of them. Per 64-bit limb this costs ~1 hint +
+    ~7 lookup queries instead of 64 boolean constraints — the
+    difference between a feasible and an infeasible emulated-pairing
+    circuit.
+
+    Obtain via `checker(api)` (one instance per builder)."""
+
+    def __init__(self, api, chunk_bits: int = CHUNK_BITS):
+        self.api = api
+        self.w = chunk_bits
+        self.pending = []        # (var, nbits)
+        api.defer_(self._finalize)
+
+    def check(self, v, nbits: int) -> None:
+        if isinstance(v, int):
+            assert 0 <= v < (1 << nbits), f"constant {v} >= 2^{nbits}"
+            return
+        if nbits == 0:
+            self.api.assert_is_equal(v, 0)
+            return
+        self.pending.append((v, nbits))
+
+    def _decompose(self, v, nbits):
+        """-> list of (chunk_var_scaled, ) lookup indices pinning
+        v < 2^nbits."""
+        api, w = self.api, self.w
+        if nbits <= w:
+            # single chunk: scale so the table bound gives exactly nbits
+            sh = w - nbits
+            return [api.mul(v, 1 << sh) if sh else v]
+        nch = -(-nbits // w)
+        rem = nbits - (nch - 1) * w
+        chunks = api.new_hint("rc_chunks", nch, v, nch, w)
+        acc = 0
+        for i, c in enumerate(chunks):
+            acc = api.add(acc, api.mul(c, 1 << (w * i)))
+        api.assert_is_equal(acc, v)
+        idxs = list(chunks[:-1])
+        top = chunks[-1]
+        sh = w - rem
+        idxs.append(api.mul(top, 1 << sh) if sh else top)
+        return idxs
+
+    def _finalize(self, api) -> None:
+        if not self.pending:
+            return
+        idxs = []
+        for v, nbits in self.pending:
+            idxs.extend(self._decompose(v, nbits))
+        self.pending = []
+        t = Table(api)          # deferred: its own finalize runs later
+        for i in range(1 << self.w):
+            t.insert(i)
+        outs = t.lookup(*idxs)
+        for ix, o in zip(idxs, outs):
+            api.assert_is_equal(o, ix)   # identity table: value==index
+
+
+def checker(api) -> TableRangeChecker:
+    """The builder-scoped shared range checker (created on first use)."""
+    rc = getattr(api, "_gnark_tpu_rc", None)
+    if rc is None:
+        rc = TableRangeChecker(api)
+        api._gnark_tpu_rc = rc
+    return rc
 
 
 def check_less_than(api, v, bound: int) -> None:
