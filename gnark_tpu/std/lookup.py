@@ -81,14 +81,17 @@ class Table:
             list(self.entries) + list(m)
         a = api.commit(*involved)
         b = api.mul(a, a)
-        lhs = 0
+        # accumulate with ONE n-ary add per side: pairwise `lhs =
+        # add(lhs, t)` grows the linear expression each step (O(n^2))
+        lterms = []
         for ix, val in self.queries:
             packed = api.add(ix, api.mul(b, val))
-            lhs = api.add(lhs, api.inverse(api.sub(a, packed)))
-        rhs = 0
+            lterms.append(api.inverse(api.sub(a, packed)))
+        rterms = []
         for i, entry in enumerate(self.entries):
             packed = api.add(i, api.mul(b, entry))
             # r_i = m_i / (a - packed):  (a - packed) * r_i == m_i
-            r = api.div_unchecked(m[i], api.sub(a, packed))
-            rhs = api.add(rhs, r)
+            rterms.append(api.div_unchecked(m[i], api.sub(a, packed)))
+        lhs = api.add(lterms[0], 0, *lterms[1:])
+        rhs = api.add(rterms[0], 0, *rterms[1:])
         api.assert_is_equal(lhs, rhs)
