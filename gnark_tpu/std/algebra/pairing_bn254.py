@@ -61,6 +61,67 @@ class G2Point:
         self.y = y
 
 
+class FixedG2:
+    """A CONSTANT G2 point (vk/SRS element) with its Miller-loop lines
+    precomputed on the host — the fixed-argument pairing optimization
+    (reference sw_bn254 lineEvaluation precompute): every per-step
+    slope/point becomes a circuit constant, so the only in-circuit
+    work left is the two l1-component products per line."""
+
+    __slots__ = ("q", "lines")
+
+    def __init__(self, Q):
+        self.q = Q
+        self.lines = _host_lines(Q)
+
+
+def _host_lines(Q):
+    """Mirror of the circuit Miller loop on host twist coords:
+    -> list of (lam, xt, yt) host-Fp2 triples, in consumption order."""
+    f2 = _host_fp2()
+    p = P_MOD
+
+    def dbl(T):
+        x, y = T
+        lam = f2.mul(f2.mul((3, 0), f2.mul(x, x)),
+                     f2.inv(f2.mul((2, 0), y)))
+        x3 = f2.sub(f2.mul(lam, lam), f2.add(x, x))
+        y3 = f2.sub(f2.mul(lam, f2.sub(x, x3)), y)
+        return (x3, y3), lam
+
+    def add(T, S):
+        (x1, y1), (x2, y2) = T, S
+        lam = f2.mul(f2.sub(y2, y1), f2.inv(f2.sub(x2, x1)))
+        x3 = f2.sub(f2.sub(f2.mul(lam, lam), x1), x2)
+        y3 = f2.sub(f2.mul(lam, f2.sub(x1, x3)), y1)
+        return (x3, y3), lam
+
+    g12 = pow_in(f2, XI, (p - 1) // 3)
+    g13 = pow_in(f2, XI, (p - 1) // 2)
+    g22 = pow_in(f2, XI, (p * p - 1) // 3)
+    g23 = pow_in(f2, XI, (p * p - 1) // 2)
+    lines = []
+    T = Q
+    for bit in bin(ATE_LOOP)[3:]:
+        Told = T
+        T, lam = dbl(T)
+        lines.append((lam, Told[0], Told[1]))
+        if bit == "1":
+            Told = T
+            T, lam = add(T, Q)
+            lines.append((lam, Told[0], Told[1]))
+    Q1 = (f2.mul(g12, f2.conj(Q[0])), f2.mul(g13, f2.conj(Q[1])))
+    Q2 = (f2.mul(g22, Q[0]), f2.mul(g23, Q[1]))
+    nQ2 = (Q2[0], f2.neg(Q2[1]))
+    Told = T
+    T, lam = add(T, Q1)
+    lines.append((lam, Told[0], Told[1]))
+    Told = T
+    T, lam = add(T, nQ2)
+    lines.append((lam, Told[0], Told[1]))
+    return lines
+
+
 class PairingBN254:
     """In-circuit pairing engine. G1 points are (Element, Element)
     pairs of emulated Fp; G2 points are G2Point of EF2 coords on the
@@ -221,36 +282,65 @@ class PairingBN254:
 
     def miller_loop(self, pairs):
         """prod_i f_{6x+2, Q_i}(P_i) * psi-correction lines — shared f
-        accumulator across pairs (one squaring per bit)."""
+        accumulator across pairs (one squaring per bit). Q_i may be a
+        variable G2Point or a FixedG2 constant (precomputed lines)."""
         f12 = self.f12
-        state = [{"Q": Q, "T": Q, "P": P} for P, Q in pairs]
+        state = []
+        for P, Q in pairs:
+            if isinstance(Q, FixedG2):
+                state.append({"fixed": iter(Q.lines), "P": P})
+            else:
+                state.append({"Q": Q, "T": Q, "P": P})
         f = None
+
+        def step(st, kind):
+            nonlocal f
+            if "fixed" in st:
+                lam, xt, yt = next(st["fixed"])
+                line = self._line_const(lam, xt, yt, st["P"])
+            else:
+                Told = st["T"]
+                if kind == "dbl":
+                    st["T"], lam = self.g2_double(st["T"])
+                else:
+                    st["T"], lam = self.g2_add(st["T"], kind)
+                line = self._line(lam, Told, st["P"])
+            f = self._mul_line(f, line)
+
         for bit in bin(ATE_LOOP)[3:]:
             if f is not None:
                 f = f12.sqr(f)
             for st in state:
-                Told = st["T"]
-                st["T"], lam = self.g2_double(st["T"])
-                line = self._line(lam, Told, st["P"])
-                f = self._mul_line(f, line)
+                step(st, "dbl")
             if bit == "1":
                 for st in state:
-                    Told = st["T"]
-                    st["T"], lam = self.g2_add(st["T"], st["Q"])
-                    line = self._line(lam, Told, st["P"])
-                    f = self._mul_line(f, line)
+                    step(st, st.get("Q"))
         # BN psi-correction lines
         for st in state:
+            if "fixed" in st:
+                step(st, None)
+                step(st, None)
+                continue
             Q1 = self.psi(st["Q"], 1)
             Q2 = self.psi(st["Q"], 2)
-            nQ2 = self.g2_neg(Q2)
-            Told = st["T"]
-            st["T"], lam = self.g2_add(st["T"], Q1)
-            f = self._mul_line(f, self._line(lam, Told, st["P"]))
-            Told = st["T"]
-            st["T"], lam = self.g2_add(st["T"], nQ2)
-            f = self._mul_line(f, self._line(lam, Told, st["P"]))
+            step(st, Q1)
+            step(st, self.g2_neg(Q2))
         return f
+
+    def _line_const(self, lam, xt, yt, P):
+        """Line with CONSTANT (lam, xt, yt): l3 folds to a constant,
+        l1 = -lam*xp needs two constant-by-variable products."""
+        fe = self.fe
+        f2h = _host_fp2()
+        xp, yp = P
+        l0 = (yp, fe.zero)
+        lam0 = fe.from_const(lam[0])
+        lam1 = fe.from_const(lam[1])
+        l1 = (fe.sum_of_products([(-1, lam0, xp)]),
+              fe.sum_of_products([(-1, lam1, xp)]))
+        l3c = f2h.sub(f2h.mul(lam, xt), yt)
+        l3 = self.f2.from_const(l3c)
+        return l0, l1, l3
 
     def _mul_line(self, f, line):
         l0, l1, l3 = line

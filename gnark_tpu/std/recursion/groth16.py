@@ -78,3 +78,89 @@ def assert_proof(api, vk, proof_vars, publics):
          vk.g2_beta),                      # constant pair: folds
     ]
     pc.assert_pairing_product_is_one(pairs)
+
+
+# -- emulated variant: BN254 proofs inside a BN254-scalar circuit ------------
+
+def assert_proof_bn254(api, vk, proof_vars, publics):
+    """Assert a BN254 Groth16 proof verifies against the CONSTANT
+    inner vk — the EMULATED recursion path (reference
+    std/recursion/groth16/verifier.go with sw_bn254; self-recursion:
+    inner Fr == outer Fr).
+
+    proof_vars: dict of emulated-Fp limb variables already assembled
+        into Elements by the caller via `load_proof_bn254`, with keys
+        ar/krs (G1 pairs) and bs (G2Point).
+    publics: native circuit variables (inner publics, no ONE wire).
+
+    Equation: e(Ar,Bs) * e(ksum,-gamma) * e(Krs,-delta) * e(-alpha,beta)
+    == 1, with -gamma/-delta as fixed-line constants and the constant
+    pair e(-alpha,beta) folded to a host Miller value."""
+    from gnark_tpu.pairing.ate import get_ate
+    from gnark_tpu.std.algebra.pairing_bn254 import FixedG2, PairingBN254
+    from gnark_tpu.std.algebra.sw_bn254 import G1EmulatedBN254
+
+    assert vk.curve.name == "bn254", "emulated path expects bn254 inner"
+    assert not vk.commitment_g2_sigma, \
+        "commitment circuits need the pedersen leg (not wired yet)"
+    if len(publics) != len(vk.g1_k) - 1:
+        raise ValueError(f"want {len(vk.g1_k) - 1} inner publics")
+
+    pr = PairingBN254(api)
+    g1 = G1EmulatedBN254(api, pr.fe)
+
+    ar, krs, bs = proof_vars["ar"], proof_vars["krs"], proof_vars["bs"]
+    pr.assert_on_g1(ar)
+    pr.assert_on_g1(krs)
+    pr.assert_on_g2_curve(bs)
+    pr.assert_in_g2_subgroup(bs)
+
+    nbits = vk.curve.fr.bits
+    ksum = g1.msm_const_bases(vk.g1_k[1:], publics, nbits)
+    k0 = vk.g1_k[0]
+    if k0 is not host.INF:
+        ksum = g1.add_distinct(ksum, g1.from_const(k0))
+
+    # constant pair folds to one host Miller value (bit-exact with the
+    # circuit loop: tests/test_pairing_bn254_circuit.py pins that)
+    ate = get_ate("bn254")
+    p = vk.curve.fp.modulus
+    neg_alpha = (vk.g1_alpha[0], (-vk.g1_alpha[1]) % p)
+    ml_const = ate.miller_loop(neg_alpha, vk.g2_beta)
+
+    f = pr.miller_loop([
+        (ar, bs),
+        (ksum, FixedG2(vk.g2_gamma_neg)),
+        (krs, FixedG2(vk.g2_delta_neg)),
+    ])
+    f = pr.f12.mul(f, pr.f12.from_const(ml_const))
+    f = pr.final_exponentiation(f)
+    pr.f12.assert_one(f)
+
+
+def load_proof_bn254(fe, limb_vars):
+    """Assemble proof Elements from 8*K+... flat limb variables in the
+    order [ar.x, ar.y, krs.x, krs.y, bs.x0, bs.x1, bs.y0, bs.y1]."""
+    from gnark_tpu.std.algebra.pairing_bn254 import G2Point
+    from gnark_tpu.std.math import emulated as emu
+    k = emu.K
+    els = [fe.from_limb_vars(limb_vars[k * i:k * (i + 1)])
+           for i in range(8)]
+    return dict(ar=(els[0], els[1]), krs=(els[2], els[3]),
+                bs=G2Point((els[4], els[5]), (els[6], els[7])))
+
+
+def proof_witness_bn254(proof):
+    """Flatten a bn254 backend proof into limb assignments for
+    load_proof_bn254's flat layout."""
+    from gnark_tpu.std.math import emulated as emu
+
+    def limbs(v):
+        return [(v >> (emu.B * i)) & emu.MASK for i in range(emu.K)]
+
+    (arx, ary), (krx, kry) = proof.ar, proof.krs
+    (bx0, bx1), (by0, by1) = proof.bs
+    out = []
+    for v in (arx, ary, krx, kry, bx0, bx1, by0, by1):
+        out += limbs(v)
+    return out
