@@ -34,6 +34,19 @@ SECP256K1 = SWParams(
     gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
 )
 
+P256_FR = emu.EmuParams(
+    "p256_fr",
+    0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551)
+
+P256 = SWParams(
+    name="p256",
+    fp=emu.P256_FP, fr=P256_FR,
+    a=emu.P256_FP.modulus - 3,
+    b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+    gx=0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+    gy=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+)
+
 _h = emu  # brevity
 
 
@@ -104,7 +117,8 @@ class EmulatedCurve:
 
 
 def ecdsa_verify(api, curve_params: SWParams, pub, msg_hash_limbs,
-                 r_limbs, s_limbs, nbits: int = 256) -> None:
+                 r_limbs, s_limbs, nbits: int = 256,
+                 v_bit=None):
     """ECDSA verification (reference std/signature/ecdsa):
 
         u1 = H * s^-1 mod n ; u2 = r * s^-1 mod n
@@ -169,3 +183,9 @@ def ecdsa_verify(api, curve_params: SWParams, pub, msg_hash_limbs,
         term = fr.mul(fr.from_const(pow(2, emu.B * j, n_mod)), lim)
         redc = fr.add(redc, term)
     fr.assert_is_equal(redc, R)
+    if v_bit is not None:
+        # recovery-id check (ECRECOVER): parity of the canonical R'.y
+        yc = curve.f.reduce_strict(Rp[1])
+        ybits = api.to_binary(yc.limbs[0], emu.B)
+        api.assert_is_equal(ybits[0], v_bit)
+    return Rp

@@ -152,6 +152,101 @@ def _emu_divmod(q, inputs):
     return [(r >> (B * i)) & MASK for i in range(k)]
 
 
+@register_hint("emu_varmod_mul")
+def _emu_varmod_mul(q, inputs):
+    """[k, m_limbs..., a..., b...] -> r = a*b mod m (k limbs) and
+    quotient (k+1 limbs); m == 0 -> r = q' = 0."""
+    k = inputs[0]
+    m = _val(inputs, k, 1)
+    a = _val(inputs, k, 1 + k)
+    b = _val(inputs, k, 1 + 2 * k)
+    if m == 0:
+        r, qp = 0, 0
+    else:
+        r = a * b % m
+        qp = (a * b - r) // m
+    # quotient needs up to 2k limbs (m as small as 1)
+    return ([(r >> (B * i)) & MASK for i in range(k)]
+            + [(qp >> (B * i)) & MASK for i in range(2 * k)])
+
+
+@register_hint("emu_varmod_gap")
+def _emu_varmod_gap(q, inputs):
+    """[k, m..., r...] -> limbs of m - 1 - r (0 if r >= m)."""
+    k = inputs[0]
+    m = _val(inputs, k, 1)
+    r = _val(inputs, k, 1 + k)
+    z = max(m - 1 - r, 0)
+    return [(z >> (B * i)) & MASK for i in range(k)]
+
+
+class VarModField:
+    """Arithmetic modulo a VARIABLE k-limb modulus (reference
+    std/math/emulated variable-modulus ops, used by the MODEXP
+    precompile). Every operand/modulus limb must already be
+    range-checked to B bits (from_limb_vars does that)."""
+
+    def __init__(self, api, k: int, m_limbs):
+        self.api = api
+        self.k = k
+        # piggyback on a throwaway field object for rc + carry chains
+        self._h = EmulatedField.__new__(EmulatedField)
+        self._h.api = api
+        self._h.k = k
+        from gnark_tpu.std import rangecheck
+        self._h._rc = rangecheck.checker(api).check
+        self.m = self._h.from_limb_vars(m_limbs)
+
+    def from_limb_vars(self, limbs):
+        return self._h.from_limb_vars(limbs)
+
+    def mul(self, a: "Element", b: "Element") -> "Element":
+        """a*b mod m: hinted r, q' with a*b - q'*m - r == 0 as integers
+        (carry chain over variable-modulus products) and r < m."""
+        api, k, h = self.api, self.k, self._h
+        outs = api.new_hint("emu_varmod_mul", 3 * k, k,
+                            *self.m.limbs, *a.limbs, *b.limbs)
+        r = h.from_limb_vars(outs[:k])
+        q_limbs = outs[k:]
+        for qv in q_limbs:
+            h._rc(qv, B)
+        coeffs = [0] * (3 * k)
+        for i in range(k):
+            for j in range(k):
+                coeffs[i + j] = api.add(
+                    coeffs[i + j], api.mul(a.limbs[i], b.limbs[j]))
+        for i in range(2 * k):
+            for j in range(k):
+                coeffs[i + j] = api.sub(
+                    coeffs[i + j], api.mul(q_limbs[i], self.m.limbs[j]))
+        for i in range(k):
+            coeffs[i] = api.sub(coeffs[i], r.limbs[i])
+        tmax = (3 * k + 2) << (2 * B)
+        aux = tmax.bit_length() - B + 1
+        h._assert_poly_zero(coeffs, aux)
+        self._assert_lt_m(r)
+        return r
+
+    def _assert_lt_m(self, r: "Element"):
+        """r < m via gap witness: r + z + 1 == m as integers."""
+        api, k, h = self.api, self.k, self._h
+        outs = api.new_hint("emu_varmod_gap", k, k,
+                            *self.m.limbs, *r.limbs)
+        z = h.from_limb_vars(outs)
+        coeffs = []
+        for i in range(k):
+            c = api.add(r.limbs[i], z.limbs[i])
+            if i == 0:
+                c = api.add(c, 1)
+            coeffs.append(api.sub(c, self.m.limbs[i]))
+        h._assert_poly_zero(coeffs, 3)
+
+    def select(self, cond, a: "Element", b: "Element") -> "Element":
+        api = self.api
+        return Element([api.select(cond, x, y)
+                        for x, y in zip(a.limbs, b.limbs)])
+
+
 class Element:
     """Foreign-field element: k limb variables, each < 2^B."""
 

@@ -90,3 +90,207 @@ def test_ecmul_precompile():
     bad = EcMul(k=k + 1)
     bad.px, bad.py, bad.rx = c.px, c.py, c.rx
     assert not is_solved(bad, F)
+
+
+# -- 0x05 MODEXP -------------------------------------------------------------
+
+class ModExp(Circuit):
+    base: list[Secret]
+    mod: list[Secret]
+    e: Secret
+    r0: Public
+
+    def __init__(self, **kw):
+        self.base = [None] * emu.K
+        self.mod = [None] * emu.K
+        super().__init__(**kw)
+
+    def define(self, api):
+        for l in self.base + self.mod:
+            api.to_binary(l, emu.B)
+        ebits = api.to_binary(self.e, 16)       # MSB-first expected
+        r = evm.modexp(api, self.base, list(reversed(ebits)), self.mod)
+        api.assert_is_equal(r.limbs[0], self.r0)
+
+
+def test_modexp_precompile():
+    for m in (2 ** 255 - 19, 97, 1):
+        b = RNG.randrange(1, 1 << 200)
+        e = RNG.randrange(0, 1 << 16)
+        want = pow(b, e, m)
+        c = ModExp(e=e, r0=want & emu.MASK)
+        c.base, c.mod = limbs(b), limbs(m)
+        assert is_solved(c, F), f"m={m}"
+        bad = ModExp(e=e, r0=(want + 1) & emu.MASK)
+        bad.base, bad.mod = limbs(b), limbs(m)
+        assert not is_solved(bad, F)
+
+
+# -- 0x01 ECRECOVER ----------------------------------------------------------
+
+class EcRecover(Circuit):
+    h: list[Public]
+    r: list[Secret]
+    s: list[Secret]
+    v: Secret
+    qx0: Public
+
+    def __init__(self, **kw):
+        for n in ("h", "r", "s"):
+            setattr(self, n, [None] * emu.K)
+        super().__init__(**kw)
+
+    def define(self, api):
+        pub = evm.ecrecover(api, self.h, self.v, self.r, self.s)
+        api.assert_is_equal(pub[0].limbs[0], self.qx0)
+
+
+import pytest
+
+
+@pytest.mark.slow
+def test_ecrecover_precompile():
+    import tests.test_ecdsa as te
+    d = RNG.randrange(1, te._n)
+    Q = te._mul(te._G, d)
+    h = RNG.randrange(1, te._n)
+    r, s = te._sign(d, h)
+    # recompute v (parity of R.y) by re-deriving R from the equation
+    rinv = pow(r, -1, te._n)
+    u1, u2 = (-h * rinv) % te._n, (s * rinv) % te._n
+    # R candidates: x = r with both parities; find which recovers Q
+    for v in (0, 1):
+        hint = evm._ecrecover_pub(
+            None,
+            [emu.K] + limbs(te._p) + limbs(te._n) + limbs(0) + limbs(7)
+            + limbs(te._G[0]) + limbs(te._G[1]) + limbs(h) + limbs(r)
+            + limbs(s) + [v])
+        x_rec = sum(l << (emu.B * i) for i, l in enumerate(hint[:emu.K]))
+        if x_rec == Q[0]:
+            break
+    else:
+        pytest.fail("no recovery id matched")
+    c = EcRecover(v=v, qx0=Q[0] & emu.MASK)
+    c.h, c.r, c.s = limbs(h), limbs(r), limbs(s)
+    assert is_solved(c, F)
+    badv = EcRecover(v=1 - v, qx0=Q[0] & emu.MASK)
+    badv.h, badv.r, badv.s = limbs(h), limbs(r), limbs(s)
+    assert not is_solved(badv, F)
+
+
+# -- 0x08 ECPAIR -------------------------------------------------------------
+
+class EcPair(Circuit):
+    ins: list[Secret]
+
+    def __init__(self, **kw):
+        self.ins = [None] * (2 * 6 * emu.K)
+        super().__init__(**kw)
+
+    def define(self, api):
+        from gnark_tpu.std.algebra.pairing_bn254 import G2Point
+        f = emu.EmulatedField(api, emu.BN254_FP_EMU)
+        vals = self.ins
+        pairs = []
+        off = 0
+        for _ in range(2):
+            els = [f.from_limb_vars(vals[off + emu.K * i:
+                                         off + emu.K * (i + 1)])
+                   for i in range(6)]
+            off += 6 * emu.K
+            pairs.append(((els[0], els[1]),
+                          G2Point((els[2], els[3]), (els[4], els[5]))))
+        evm.ecpair(api, pairs)
+
+
+@pytest.mark.slow
+def test_ecpair_precompile():
+    fh = BN.host_fp
+    f2 = BN.host_g2_field
+    a = RNG.randrange(2, 1 << 30)
+    aP = host.ec_mul(fh, BN.g1, a)
+    nP = host.ec_neg(fh, BN.g1)
+    aQ = host.ec_mul(f2, BN.g2, a)
+
+    def flat(P, Q):
+        (x, y) = P
+        (qx, qy) = Q
+        return (limbs(x) + limbs(y) + limbs(qx[0]) + limbs(qx[1])
+                + limbs(qy[0]) + limbs(qy[1]))
+
+    good = EcPair()
+    good.ins = flat(aP, BN.g2) + flat(nP, aQ)
+    assert is_solved(good, F)
+    bad = EcPair()
+    bad.ins = flat(aP, BN.g2) + flat(BN.g1, aQ)
+    assert not is_solved(bad, F)
+
+
+# -- 0x100 P256VERIFY --------------------------------------------------------
+
+@pytest.mark.slow
+def test_p256_verify_precompile():
+    from gnark_tpu.std.algebra.sw_emulated import P256
+    p, n = P256.fp.modulus, P256.fr.modulus
+    a, G = P256.a, (P256.gx, P256.gy)
+
+    def add(A, Bp):
+        if A is None:
+            return Bp
+        if Bp is None:
+            return A
+        if A[0] == Bp[0]:
+            if (A[1] + Bp[1]) % p == 0:
+                return None
+            lam = (3 * A[0] * A[0] + a) * pow(2 * A[1], -1, p) % p
+        else:
+            lam = (Bp[1] - A[1]) * pow(Bp[0] - A[0], -1, p) % p
+        x = (lam * lam - A[0] - Bp[0]) % p
+        return (x, (lam * (A[0] - x) - A[1]) % p)
+
+    def mul(P_, k):
+        R = None
+        while k:
+            if k & 1:
+                R = add(R, P_)
+            P_ = add(P_, P_)
+            k >>= 1
+        return R
+
+    d = RNG.randrange(1, n)
+    Q = mul(G, d)
+    h = RNG.randrange(1, n)
+    while True:
+        k = RNG.randrange(1, n)
+        r = mul(G, k)[0] % n
+        if r == 0:
+            continue
+        s = (h + r * d) * pow(k, -1, n) % n
+        if s:
+            break
+
+    class C(Circuit):
+        qx: list[Public]
+        qy: list[Public]
+        h: list[Public]
+        r: list[Secret]
+        s: list[Secret]
+
+        def __init__(self, **kw):
+            for nm in ("qx", "qy", "h", "r", "s"):
+                setattr(self, nm, [None] * emu.K)
+            super().__init__(**kw)
+
+        def define(self, api):
+            f = emu.EmulatedField(api, P256.fp)
+            pub = (f.from_limb_vars(self.qx), f.from_limb_vars(self.qy))
+            evm.p256_verify(api, pub, self.h, self.r, self.s)
+
+    c = C()
+    c.qx, c.qy, c.h, c.r, c.s = (limbs(Q[0]), limbs(Q[1]), limbs(h),
+                                 limbs(r), limbs(s))
+    assert is_solved(c, F)
+    bad = C()
+    bad.qx, bad.qy, bad.h = c.qx, c.qy, limbs((h + 1) % n)
+    bad.r, bad.s = c.r, c.s
+    assert not is_solved(bad, F)
