@@ -1,0 +1,476 @@
+"""GKR user API with in-circuit verification (reference std/gkrapi
+api.go:25-69 + internal/gkr gkrcore).
+
+Data-parallel GKR (Thaler): the SAME gate circuit evaluated on
+N = 2^m instances. Wire values are multilinear extensions over the
+instance hypercube; one sumcheck per gate layer over
+
+    W_out~(r) = sum_x eq(r, x) * G(W_in1(x), ..., W_ind(x))
+
+so no wiring MLEs are needed — the verifier evaluates eq and the gate
+polynomial at the claimed child evaluations. Gates may be arbitrary
+low-degree polynomials (registry below; reference
+constraint/solver/gkrgates).
+
+Flow (mirrors gkrapi.New -> Import -> ops -> Solve -> Export -> Verify):
+
+    g = GkrApi(api, n_instances)
+    x = g.import_input([...vars...])       # one var per instance
+    h = g.named_gate("pow7", g.add(x, k))  # build the per-instance fn
+    outs = g.solve(h)                      # hint-computed outputs
+    g.verify()                             # in-circuit GKR verifier
+
+Cost model: the in-circuit verifier pays O(depth * m * deg) for the
+sumchecks + O(N) per input/output MLE evaluation, versus O(N * cost(f))
+for direct evaluation — the win grows with gate cost (MiMC/Poseidon2).
+The Fiat-Shamir seed comes from api.commit over all instance values
+(constant cost; reference uses the same commit-based initial
+challenge).
+
+Topology restriction (v1): each intermediate wire feeds exactly one
+consumer (trees hanging off each output); INPUT wires may fan out
+freely. Hash chains (MiMC, Poseidon2 rounds) fit naturally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from gnark_tpu.constraint.hints import register_hint
+from gnark_tpu.std.hash.mimc import MiMC, MiMCGadget
+
+
+# -- gate registry -----------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Gate:
+    name: str
+    nb_in: int
+    degree: int
+    ev: object          # ev(q, *args) -> int  (host, mod q)
+
+
+def _pow_ev(n):
+    def ev(q, a):
+        return pow(a, n, q)
+    return ev
+
+
+GATES = {
+    "add": Gate("add", 2, 1, lambda q, a, b: (a + b) % q),
+    "sub": Gate("sub", 2, 1, lambda q, a, b: (a - b) % q),
+    "mul": Gate("mul", 2, 2, lambda q, a, b: a * b % q),
+    "neg": Gate("neg", 1, 1, lambda q, a: (-a) % q),
+    "sqr": Gate("sqr", 1, 2, lambda q, a: a * a % q),
+    "pow5": Gate("pow5", 1, 5, _pow_ev(5)),
+    "pow7": Gate("pow7", 1, 7, _pow_ev(7)),
+    "pow17": Gate("pow17", 1, 17, _pow_ev(17)),
+}
+
+
+def register_gate(name: str, nb_in: int, degree: int, ev) -> None:
+    """Add a custom gate (reference gkrgates.Register)."""
+    GATES[name] = Gate(name, nb_in, degree, ev)
+
+
+def _gate_eval_circuit(api, gate: Gate, args):
+    """Evaluate a gate polynomial on circuit variables."""
+    if gate.name == "add":
+        return api.add(args[0], args[1])
+    if gate.name == "sub":
+        return api.sub(args[0], args[1])
+    if gate.name == "mul":
+        return api.mul(args[0], args[1])
+    if gate.name == "neg":
+        return api.neg(args[0])
+    if gate.name == "sqr":
+        return api.mul(args[0], args[0])
+    if gate.name.startswith("pow"):
+        n = int(gate.name[3:])
+        r = args[0]
+        acc = 1
+        base = r
+        e = n
+        while e:
+            if e & 1:
+                acc = api.mul(acc, base) if acc != 1 else base
+            e >>= 1
+            if e:
+                base = api.mul(base, base)
+        return acc
+    if gate.name.startswith("mimc_"):
+        return _mimc_gate_circuit(api, gate.name, args)
+    raise KeyError(f"no circuit evaluation for gate {gate.name!r}")
+
+
+# -- MLE helpers (host) ------------------------------------------------------
+
+def _fold(q, table, t):
+    half = len(table) // 2
+    return [(table[i] + t * (table[half + i] - table[i])) % q
+            for i in range(half)]
+
+
+def _mle_eval(q, table, point):
+    t = list(table)
+    for r in point:
+        t = _fold(q, t, r)
+    return t[0]
+
+
+def _eq_table(q, r):
+    """Dense table of eq(r, x) over x in {0,1}^m (x_0 = MSB)."""
+    t = [1]
+    for rj in r:
+        t = [v * w % q for v in t for w in ((1 - rj) % q, rj)]
+    return t
+
+
+# -- host prover/verifier ----------------------------------------------------
+
+def _prove(q, wires, inputs_vals, out_wire, seed, field_name):
+    """wires: list of (gate_name|None, in_ids); inputs_vals: values for
+    input wires; returns (proof flat list of field elements, spec) —
+    the flat list is what travels through the hint."""
+    n = len(next(iter(inputs_vals.values())))
+    m = max(1, (n - 1).bit_length())
+    assert n == 1 << m
+    vals = dict(inputs_vals)
+
+    def ev(w):
+        if w in vals:
+            return vals[w]
+        g, ins = wires[w]
+        gate = GATES[g]
+        cols = [ev(i) for i in ins]
+        vals[w] = [gate.ev(q, *[c[i] for c in cols]) for i in range(n)]
+        return vals[w]
+
+    ev(out_wire)
+    ts = MiMC(field_name)
+    ts.write(seed)
+    r = []
+    for i in range(m):
+        ts.write(i)
+        r.append(ts.sum())
+
+    flat = []
+
+    def prove_claim(w, point):
+        g, ins = wires[w]
+        if g is None:
+            return                      # input claim: checked directly
+        gate = GATES[g]
+        D = 1 + gate.degree             # degree in each variable
+        tabs = [_eq_table(q, point)] + [list(vals[i]) for i in ins]
+
+        def combine(row):
+            return row[0] * gate.ev(q, *row[1:]) % q
+
+        chals = []
+        cur_tabs = tabs
+        for _ in range(m):
+            evals = []
+            for t in range(D + 1):
+                ft = [_fold(q, tb, t) for tb in cur_tabs]
+                s = 0
+                for i in range(len(ft[0])):
+                    s = (s + combine([tb[i] for tb in ft])) % q
+                evals.append(s)
+            flat.extend(evals)
+            ts.write(*evals)
+            rc = ts.sum()
+            chals.append(rc)
+            cur_tabs = [_fold(q, tb, rc) for tb in cur_tabs]
+        finals = [tb[0] for tb in cur_tabs[1:]]
+        flat.extend(finals)
+        ts.write(*finals)
+        for child, fv in zip(ins, finals):
+            prove_claim(child, chals)
+
+    prove_claim(out_wire, r)
+    return flat, vals[out_wire]
+
+
+def _verify_structure(wires, out_wire):
+    """Walk order + proof length bookkeeping (shared by host and
+    circuit verifiers so hint output sizes are static)."""
+    order = []
+
+    def walk(w):
+        g, ins = wires[w]
+        if g is None:
+            return
+        order.append(w)
+        for c in ins:
+            walk(c)
+
+    walk(out_wire)
+    return order
+
+
+# -- hints -------------------------------------------------------------------
+
+_SPECS = {}          # spec_id -> (wires, out_wire, field_name)
+
+
+def _spec_register(wires, out_wire, field_name):
+    key = (tuple((g, tuple(i)) for g, i in wires), out_wire, field_name)
+    sid = abs(hash(key)) % (1 << 30)
+    _SPECS[sid] = (wires, out_wire, field_name)
+    return sid
+
+
+@register_hint("gkr_solve")
+def _gkr_solve(q, inputs):
+    """[spec_id, n, n_inputs, input cols...] -> output column."""
+    sid, n, n_in = inputs[0], inputs[1], inputs[2]
+    wires, out_wire, _ = _SPECS[sid]
+    cols = {}
+    off = 3
+    in_ids = [w for w, (g, _) in enumerate(wires) if g is None]
+    for w in in_ids:
+        cols[w] = inputs[off:off + n]
+        off += n
+
+    vals = dict(cols)
+
+    def ev(w):
+        if w in vals:
+            return vals[w]
+        g, ins = wires[w]
+        gate = GATES[g]
+        cs = [ev(i) for i in ins]
+        vals[w] = [gate.ev(q, *[c[i] for c in cs]) for i in range(n)]
+        return vals[w]
+
+    return list(ev(out_wire))
+
+
+@register_hint("gkr_prove")
+def _gkr_prove(q, inputs):
+    """[spec_id, n, seed, input cols...] -> flat proof elements."""
+    sid, n, seed = inputs[0], inputs[1], inputs[2]
+    wires, out_wire, field_name = _SPECS[sid]
+    cols = {}
+    off = 3
+    in_ids = [w for w, (g, _) in enumerate(wires) if g is None]
+    for w in in_ids:
+        cols[w] = inputs[off:off + n]
+        off += n
+    flat, _ = _prove(q, wires, cols, out_wire, seed, field_name)
+    return flat
+
+
+# -- the user-facing API -----------------------------------------------------
+
+class GkrApi:
+    def __init__(self, api, n_instances: int, field_name: str = None):
+        assert n_instances & (n_instances - 1) == 0, \
+            "instance count must be a power of two"
+        self.api = api
+        self.n = n_instances
+        self.m = (n_instances - 1).bit_length()
+        from gnark_tpu import fields
+        self.field_name = field_name or \
+            next(name for name, f in fields.FIELDS.items()
+                 if f.modulus == api.field())
+        self.wires = []          # (gate_name|None, in_ids)
+        self.in_cols = {}        # wire -> list of circuit vars
+        self._out = None
+        self._out_col = None
+
+    # -- build ---------------------------------------------------------------
+
+    def import_input(self, vars_) -> int:
+        assert len(vars_) == self.n
+        self.wires.append((None, ()))
+        w = len(self.wires) - 1
+        self.in_cols[w] = list(vars_)
+        return w
+
+    def named_gate(self, name: str, *ins) -> int:
+        g = GATES[name]
+        assert len(ins) == g.nb_in
+        self.wires.append((name, tuple(ins)))
+        return len(self.wires) - 1
+
+    def add(self, a, b) -> int:
+        return self.named_gate("add", a, b)
+
+    def sub(self, a, b) -> int:
+        return self.named_gate("sub", a, b)
+
+    def mul(self, a, b) -> int:
+        return self.named_gate("mul", a, b)
+
+    # -- solve + verify ------------------------------------------------------
+
+    def solve(self, out_wire: int):
+        """Hint-evaluate the batched circuit; returns the N output
+        variables (reference gkrapi Solve/Export)."""
+        api = self.api
+        sid = _spec_register(list(self.wires), out_wire, self.field_name)
+        flat_in = []
+        for w in sorted(self.in_cols):
+            flat_in.extend(self.in_cols[w])
+        outs = api.new_hint("gkr_solve", self.n, sid, self.n,
+                            len(self.in_cols), *flat_in)
+        self._out = out_wire
+        self._out_col = outs
+        return outs
+
+    def verify(self) -> None:
+        """Append the in-circuit GKR verification constraints
+        (reference gkrapi verification via the gkr verifier gadget)."""
+        api = self.api
+        q = api.field()
+        assert self._out is not None, "call solve() first"
+        out_wire = self._out
+        sid = _spec_register(list(self.wires), out_wire, self.field_name)
+
+        flat_in = []
+        for w in sorted(self.in_cols):
+            flat_in.extend(self.in_cols[w])
+        # Fiat-Shamir seed binds every instance value via one commitment
+        seed = api.commit(*(flat_in + list(self._out_col)))
+
+        # static proof size from the walk order
+        order = _verify_structure(self.wires, out_wire)
+        total = 0
+        for w in order:
+            gate = GATES[self.wires[w][0]]
+            total += self.m * (gate.degree + 2) + gate.nb_in
+        proof = api.new_hint("gkr_prove", total, sid, self.n, seed,
+                             *flat_in)
+
+        ts = MiMCGadget(api, self.field_name)
+        ts.write(seed)
+        r = []
+        for i in range(self.m):
+            ts.write(i)
+            r.append(ts.sum())
+
+        # initial claim: MLE of the output column at r
+        claim = self._mle_eval_circuit(list(self._out_col), r)
+
+        pos = 0
+
+        def eq_eval(rp, rho):
+            acc = 1
+            for a, b in zip(rp, rho):
+                # eq = a*b + (1-a)(1-b)
+                term = api.add(api.mul(a, b),
+                               api.mul(api.sub(1, a), api.sub(1, b)))
+                acc = api.mul(acc, term)
+            return acc
+
+        def verify_claim(w, point, cur):
+            nonlocal pos
+            g, ins = self.wires[w]
+            if g is None:
+                want = self._mle_eval_circuit(self.in_cols[w], point)
+                api.assert_is_equal(cur, want)
+                return
+            gate = GATES[g]
+            D = 1 + gate.degree
+            chals = []
+            for _ in range(self.m):
+                evals = proof[pos:pos + D + 1]
+                pos += D + 1
+                api.assert_is_equal(api.add(evals[0], evals[1]), cur)
+                ts.write(*evals)
+                rc = ts.sum()
+                chals.append(rc)
+                cur = self._interp_circuit(evals, rc)
+            finals = proof[pos:pos + gate.nb_in]
+            pos += gate.nb_in
+            ts.write(*finals)
+            gv = _gate_eval_circuit(api, gate, finals)
+            expect = api.mul(eq_eval(point, chals), gv)
+            api.assert_is_equal(cur, expect)
+            for child, fv in zip(ins, finals):
+                verify_claim(child, chals, fv)
+
+        verify_claim(out_wire, r, claim)
+
+    # -- circuit MLE helpers --------------------------------------------------
+
+    def _mle_eval_circuit(self, col, point):
+        api = self.api
+        t = list(col)
+        for rp in point:
+            half = len(t) // 2
+            t = [api.add(t[i], api.mul(rp, api.sub(t[half + i], t[i])))
+                 for i in range(half)]
+        return t[0]
+
+    def _interp_circuit(self, evals, rc):
+        """Evaluate the univariate through (i, evals[i]) at rc
+        (variable) — Lagrange with constant denominators."""
+        api = self.api
+        q = api.field()
+        n = len(evals)
+        # prefix/suffix products of (rc - j)
+        diffs = [api.sub(rc, j) for j in range(n)]
+        pre = [1] * (n + 1)
+        for i in range(n):
+            pre[i + 1] = api.mul(pre[i], diffs[i]) if i else diffs[0]
+        suf = [1] * (n + 1)
+        for i in range(n - 1, -1, -1):
+            suf[i] = api.mul(suf[i + 1], diffs[i]) \
+                if i < n - 1 else diffs[i]
+        out = 0
+        for i in range(n):
+            num_l = pre[i] if i else 1
+            num_r = suf[i + 1] if i < n - 1 else 1
+            num = api.mul(num_l, num_r)
+            den = 1
+            for j in range(n):
+                if j != i:
+                    den = den * ((i - j) % q) % q
+            out = api.add(out, api.mul(num, evals[i] if den == 1 else
+                                       api.mul(evals[i],
+                                               pow(den, -1, q))))
+        return out
+
+
+# -- GKR-accelerated MiMC (reference std/hash/mimc GKR variant) --------------
+
+def gkr_mimc_one_block(g: GkrApi, x_wire: int,
+                       field_name: str = "bn254_fr") -> int:
+    """Wire chain computing mimc_hash([x]) per instance (one-block
+    Miyaguchi-Preneel with zero initial state: E(x, 0) + x). The
+    verifier cost is O(rounds * log N) sumcheck work instead of
+    O(rounds * N) field muls — the reference's gkr-mimc speedup."""
+    from gnark_tpu.std.hash.mimc import PARAMS, round_constants
+    consts = round_constants(field_name)
+    _, e = PARAMS[field_name]
+    w = x_wire
+    for i, c in enumerate(consts):
+        name = f"mimc_{field_name}_r{i}"
+        if name not in GATES:
+            def _ev(q, a, _c=c, _e=e):
+                return pow((a + _c) % q, _e, q)
+            register_gate(name, 1, e, _ev)
+        w = g.named_gate(name, w)
+    return g.add(w, x_wire)
+
+
+def _mimc_gate_circuit(api, name, args):
+    """Circuit evaluation for the registered mimc round gates."""
+    field_name, ri = name[5:].rsplit("_r", 1)
+    from gnark_tpu.std.hash.mimc import PARAMS, round_constants
+    c = round_constants(field_name)[int(ri)]
+    _, e = PARAMS[field_name]
+    x = api.add(args[0], c)
+    x2 = api.mul(x, x)
+    x4 = api.mul(x2, x2)
+    if e == 5:
+        return api.mul(x4, x)
+    if e == 7:
+        return api.mul(api.mul(x4, x2), x)
+    if e == 17:
+        x8 = api.mul(x4, x4)
+        return api.mul(api.mul(x8, x8), x)
+    raise ValueError(f"unsupported mimc exponent {e}")
