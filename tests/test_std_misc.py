@@ -69,3 +69,49 @@ def test_multicommit():
     assert len(cs.commitments) == 1   # one commitment, many challenges
     pub, sec = witness(MultiCommitCircuit(x=5), cs)
     solve(cs, pub, sec)
+
+
+def test_polynomial_gadgets():
+    import random
+    from gnark_tpu import fields
+    from gnark_tpu.frontend import Circuit, Public
+    from gnark_tpu.std.math import polynomial as poly
+    from gnark_tpu.test_engine import is_solved
+    F = fields.BN254_FR
+    q = F.modulus
+    rng = random.Random(3)
+    coeffs = [rng.randrange(q) for _ in range(5)]
+    x = rng.randrange(q)
+    want_uni = 0
+    for c in reversed(coeffs):
+        want_uni = (want_uni * x + c) % q
+    vals = [rng.randrange(q) for _ in range(8)]
+    pt = [rng.randrange(q) for _ in range(3)]
+    t = list(vals)
+    for r in pt:
+        half = len(t) // 2
+        t = [(t[i] + r * (t[half + i] - t[i])) % q for i in range(half)]
+    want_mle = t[0]
+    evs = [rng.randrange(q) for _ in range(4)]
+    xx = rng.randrange(q)
+    want_interp = 0
+    for i, v in enumerate(evs):
+        num = den = 1
+        for j in range(4):
+            if j != i:
+                num = num * (xx - j) % q
+                den = den * (i - j) % q
+        want_interp = (want_interp + v * num * pow(den, -1, q)) % q
+
+    class C(Circuit):
+        ok: Public
+
+        def define(self, api):
+            api.assert_is_equal(
+                poly.eval_univariate(api, coeffs, x), want_uni)
+            api.assert_is_equal(
+                poly.eval_multilinear(api, vals, pt), want_mle)
+            api.assert_is_equal(
+                poly.interpolate_on_range(api, evs, xx), want_interp)
+
+    assert is_solved(C(ok=1), F)
