@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnark_tpu.backend import kzg as kzg_mod
-from gnark_tpu.backend.transcript import Transcript
+from gnark_tpu.backend.transcript import MimcTranscript, Transcript
 from gnark_tpu.constraint import ConstraintSystem, solve_auto
 from gnark_tpu.ec import curves as curves_mod
 from gnark_tpu.ec import host
@@ -281,8 +281,25 @@ def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
 # transcript binding (shared by prove/verify)
 # ---------------------------------------------------------------------------
 
-def _new_transcript(vk: PlonkVerifyingKey):
-    return Transcript(vk.curve.fr.modulus, ["gamma", "beta", "alpha", "zeta"])
+def _outer_mimc_field(curve) -> str:
+    """Field-registry name of the curve's BASE field (= the 2-chain
+    outer scalar field), for recursion-friendly MiMC transcripts."""
+    from gnark_tpu import fields
+    from gnark_tpu.std.hash.mimc import PARAMS
+    names = [n for n, f in fields.FIELDS.items()
+             if f.modulus == curve.fp.modulus]
+    for n in names:
+        if n in PARAMS:          # need MiMC constants for this field
+            return n
+    raise ValueError(f"no MiMC params for fp({curve.name}); have {names}")
+
+
+def _new_transcript(vk: PlonkVerifyingKey, recursion: bool = False):
+    names = ["gamma", "beta", "alpha", "zeta"]
+    if recursion:
+        return MimcTranscript(vk.curve.fr.modulus, names,
+                              _outer_mimc_field(vk.curve))
+    return Transcript(vk.curve.fr.modulus, names)
 
 
 def _bind_public_data(ts: Transcript, vk: PlonkVerifyingKey, publics):
@@ -297,14 +314,25 @@ def _bind_public_data(ts: Transcript, vk: PlonkVerifyingKey, publics):
         ts.bind("gamma", ts.fe_bytes(v))
 
 
-def _fold_challenge(vk, digests, zeta, zu, claimed) -> int:
+def _fold_challenge(vk, digests, zeta, zu, claimed,
+                    recursion: bool = False) -> int:
     """KZG batch-fold challenge (gnark kzg.BatchOpenSinglePoint gamma).
 
     Binds the claimed evaluation values too, like gnark-crypto's
     deriveGamma (kzg.go BatchOpenSinglePoint): the Fiat-Shamir
     transcript must cover everything the verifier consumes."""
-    h = hashlib.sha256()
     p = vk.curve.fp.modulus
+    if recursion:
+        ts = MimcTranscript(vk.curve.fr.modulus, ["fold"],
+                            _outer_mimc_field(vk.curve))
+        for d in digests:
+            ts.bind("fold", ts.point_bytes(d, p))
+        ts.bind("fold", ts.fe_bytes(zeta))
+        ts.bind("fold", ts.fe_bytes(zu))
+        for v in claimed:
+            ts.bind("fold", ts.fe_bytes(v))
+        return ts.challenge("fold")
+    h = hashlib.sha256()
     ts = Transcript(vk.curve.fr.modulus, ["fold"])
     for d in digests:
         h.update(ts.point_bytes(d, p))
@@ -319,9 +347,19 @@ def _fold_challenge(vk, digests, zeta, zu, claimed) -> int:
 # Prove
 # ---------------------------------------------------------------------------
 
-def _h2f_bsb22(curve, point) -> int:
+def _h2f_bsb22(curve, point, recursion: bool = False) -> int:
     """Commitment challenge from a pi2 commitment (reference uses
     hash_to_field with dst "BSB22-Plonk"; byte convention is ours)."""
+    if recursion:
+        from gnark_tpu.std.hash.mimc import MiMC
+        h = MiMC(_outer_mimc_field(curve))
+        h.write(int.from_bytes(b"BSB22-Plonk", "big"))
+        if point is host.INF:
+            h.write(0, 0)
+        else:
+            h.write(point[0], point[1])
+        mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
+        return h.sum() & mask
     h = hashlib.sha256(b"BSB22-Plonk")
     nb = -(-curve.fp.modulus.bit_length() // 8)
     if point is host.INF:
@@ -333,7 +371,12 @@ def _h2f_bsb22(curve, point) -> int:
 
 
 def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
-          rng=None, hint_overrides=None) -> PlonkProof:
+          rng=None, hint_overrides=None,
+          recursion_friendly: bool = False) -> PlonkProof:
+    """recursion_friendly: derive every Fiat-Shamir challenge with the
+    MiMC transcript over the 2-chain outer field (reference
+    backend.WithProverChallengeHashFunction + recursion.NewShort), so
+    std/recursion/plonk can recompute them in-circuit natively."""
     vk = pk.vk
     curve = vk.curve
     q = curve.fr.modulus
@@ -365,7 +408,7 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
         col[nb_pub + cs.nb_constraints - 1] = rnd(q)
         c = ntt.ifft(col)
         pt = kzg_mod.commit(pk.srs, c)
-        val = _h2f_bsb22(curve, pt)
+        val = _h2f_bsb22(curve, pt, recursion_friendly)
         bsb22_pts.append(pt)
         bsb22_vals.append(val)
         pi2_coeffs.append(c)
@@ -417,7 +460,7 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     c_o = kzg_mod.commit(pk.srs, o_b)
 
     # Fiat-Shamir: gamma, beta
-    ts = _new_transcript(vk)
+    ts = _new_transcript(vk, recursion_friendly)
     _bind_public_data(ts, vk, publics)
     p_mod = curve.fp.modulus
     for pt in (c_l, c_r, c_o):
@@ -610,7 +653,8 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]] \
         + list(vk.qcp_c)
     claimed = [lin_zeta, lz, rz, oz, s1z, s2z] + qcpz
-    fold_ch = _fold_challenge(vk, digests, zeta, zu, claimed)
+    fold_ch = _fold_challenge(vk, digests, zeta, zu, claimed,
+                              recursion_friendly)
     batch = kzg_mod.batch_open_single_point(
         pk.srs, [lin, l_b, r_b, o_b, pk.s1_coeffs, pk.s2_coeffs]
         + list(pk.qcp_coeffs),
@@ -644,7 +688,8 @@ def _lin_digest_prover(pk, vk, c_z, c_h, lz, rz, oz, _s1, coeff_z,
 # Verify
 # ---------------------------------------------------------------------------
 
-def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
+def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values,
+           recursion_friendly: bool = False) -> bool:
     curve = vk.curve
     q = curve.fr.modulus
     N = vk.size
@@ -670,7 +715,7 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
            for v in list(proof.claimed) + [proof.zu]):
         return False
 
-    ts = _new_transcript(vk)
+    ts = _new_transcript(vk, recursion_friendly)
     _bind_public_data(ts, vk, publics)
     p_mod = curve.fp.modulus
     for pt in proof.lro:
@@ -703,7 +748,8 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
     # (verify.go:162-190) — the verifier recomputes the challenge the
     # prover's qk injection contributed at the COMMITMENT row
     for i, cci in enumerate(vk.commitment_rows):
-        hashed = _h2f_bsb22(curve, proof.bsb22[i])
+        hashed = _h2f_bsb22(curve, proof.bsb22[i],
+                            recursion_friendly)
         wi = pow(w, vk.nb_public + cci, q)
         li = zh_zeta * pow((zeta - wi) % q, -1, q) % q * n_inv % q \
             * wi % q
@@ -739,7 +785,8 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values) -> bool:
 
     digests = [lin_digest] + proof.lro + [vk.s_comm[0], vk.s_comm[1]] \
         + list(vk.qcp_c)
-    fold_ch = _fold_challenge(vk, digests, zeta, zu, proof.claimed)
+    fold_ch = _fold_challenge(vk, digests, zeta, zu, proof.claimed,
+                              recursion_friendly)
 
     srs_shim = kzg_mod.SRS(curve=curve, g1_powers=None, g1_host=None,
                            g2_gen=vk.g2_gen, g2_tau=vk.g2_tau)

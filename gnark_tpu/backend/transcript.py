@@ -57,3 +57,58 @@ class Transcript:
         self._value[name] = v
         self._done.append(name)
         return v
+
+
+class MimcTranscript:
+    """Recursion-friendly transcript: MiMC over the OUTER field of a
+    2-chain (= the curve's base field), so an in-circuit verifier can
+    recompute challenges natively (reference std/recursion NewShort +
+    backend.WithProverChallengeHashFunction).
+
+    Same interface as Transcript, but bound data are FIELD ELEMENTS
+    (lists of ints) instead of bytes, and challenges are truncated to
+    q.bit_length()-8 bits so they embed soundly in the inner scalar
+    field regardless of the outer modulus."""
+
+    def __init__(self, q: int, names: list[str], mimc_field: str):
+        from gnark_tpu.std.hash.mimc import MiMC
+        self._mk = lambda: MiMC(mimc_field)
+        self.q = q
+        self.mask = (1 << (q.bit_length() - 8)) - 1
+        self.names = list(names)
+        self._data: dict[str, list] = {n: [] for n in names}
+        self._value: dict[str, int] = {}
+        self._done: list[str] = []
+
+    def fe_bytes(self, v: int):
+        return [v % self.q]
+
+    def point_bytes(self, P, p_mod: int):
+        if P is None:
+            return [0, 0]
+        out = []
+        for c in P:
+            if isinstance(c, tuple):
+                out += [c[0] % p_mod, c[1] % p_mod]
+            else:
+                out.append(c % p_mod)
+        return out
+
+    def bind(self, name: str, data) -> None:
+        assert name in self._data and name not in self._value, name
+        self._data[name].extend(data)
+
+    def challenge(self, name: str) -> int:
+        assert name not in self._value
+        idx = self.names.index(name)
+        assert len(self._done) == idx, \
+            f"challenges must be derived in order: {self.names}"
+        h = self._mk()
+        h.write(int.from_bytes(name.encode(), "big"))
+        if self._done:
+            h.write(self._value[self._done[-1]])
+        h.write(*self._data[name])
+        v = h.sum() & self.mask
+        self._value[name] = v
+        self._done.append(name)
+        return v

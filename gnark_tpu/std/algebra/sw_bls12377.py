@@ -45,6 +45,46 @@ class G1Circuit:
         return (api.select(cond, P[0], Q[0]),
                 api.select(cond, P[1], Q[1]))
 
+    def scalar_mul_bits(self, P, bits):
+        """[k]P for a VARIABLE point, k as LSB-first circuit booleans.
+        Offset-by-P ladder (incomplete adds; exceptional only for
+        k in {0, 1, order-1} — unsatisfiable, never wrong)."""
+        api = self.api
+        acc = P
+        cur = self.double(P)
+        n = len(bits)
+        for i, b in enumerate(bits[1:], start=1):
+            added = self.add_distinct(acc, cur)
+            acc = self.select(b, added, acc)
+            if i + 1 < n:
+                cur = self.double(cur)
+        negP = self.neg(P)
+        sub1 = self.add_distinct(acc, negP)
+        return self.select(bits[0], acc, sub1)
+
+    def msm_bits(self, pairs):
+        """sum_i [k_i]P_i with k_i LSB-first bit lists; P_i may be host
+        constant points (doublings precomputed host-side) or circuit
+        points (in-circuit doublings). One shared constant offset
+        dodges infinity through the whole accumulation."""
+        api = self.api
+        f1 = _C.host_fp
+        S = ec_mul(f1, _C.g1, 0x7e57_0ff5_e7a9_31)
+        acc = S
+        for P, bits in pairs:
+            if P is INF:
+                continue
+            const = isinstance(P[0], int) and isinstance(P[1], int)
+            T = P
+            n = len(bits)
+            for i, b in enumerate(bits):
+                cand = self.add_distinct(acc, T)
+                acc = self.select(b, cand, acc)
+                if i + 1 < n:
+                    T = ec_add(f1, T, T) if const else self.double(T)
+        negS = (S[0], (-S[1]) % _C.fp.modulus)
+        return self.add_distinct(acc, negS)
+
     def msm_const_bases(self, bases, scalars, nbits: int):
         """sum_i scalars[i] * bases[i] with CONSTANT host base points
         and variable circuit scalars — the verifier's vk.K * publics
