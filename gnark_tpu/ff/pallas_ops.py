@@ -60,3 +60,53 @@ def mul_p(ff: FF, a, b):
         interpret=_interpret(),
     )(*f.consts(), a, b)
     return out[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def butterfly_p(ff: FF, even, odd, tw, half: int):
+    """Fused NTT butterfly stage: returns (even + odd*tw,
+    even - odd*tw) in ONE pallas pass (the separate mul/add/sub/concat
+    XLA pipeline costs 3 HBM round-trips and 8x the grid steps).
+
+    even/odd: (n2, L); tw: (half, L) stage twiddles, pattern
+    tw[j % half] along rows."""
+    f = _tff(ff.p.name)
+    L = ff.n
+    n2 = even.shape[0]
+    T = min(2048, max(_T, n2))
+    pad = -n2 % T
+    if pad:
+        z = jnp.zeros((pad, L), even.dtype)
+        even = jnp.concatenate([even, z], 0)
+        odd = jnp.concatenate([odd, z], 0)
+    np_ = even.shape[0]
+
+    if half >= T:
+        assert half % T == 0
+        reps = half // T
+        twa = tw
+        tw_index = lambda i: (i % reps, 0)
+    else:
+        twa = jnp.tile(tw, (T // half, 1))
+        tw_index = lambda i: (0, 0)
+
+    def kernel(pcol, onecol, e, o_, t, oe, oo):
+        fb = f.bind(pcol[:], onecol[:])
+        prod = fb.mul(o_[:].T, t[:].T)
+        ev = e[:].T
+        oe[:] = fb.add(ev, prod).T
+        oo[:] = fb.sub(ev, prod).T
+
+    spec = pl.BlockSpec((T, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((T, L), tw_index, memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oe, oo = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((np_, L), jnp.uint32),
+                   jax.ShapeDtypeStruct((np_, L), jnp.uint32)),
+        grid=(np_ // T,),
+        in_specs=[cspec, cspec, spec, spec, tspec],
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(*f.consts(), even, odd, twa)
+    return oe[:n2], oo[:n2]

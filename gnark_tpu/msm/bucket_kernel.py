@@ -46,8 +46,10 @@ from gnark_tpu.msm.pippenger import (_group_ops, _suffix_sums,
                                      window_digits)
 from gnark_tpu.utils.jaxutil import match_vma
 
-C_BITS = 8
-BUCKETS = 1 << (C_BITS - 1)       # 128 bucket magnitudes per window
+import os
+
+C_BITS = int(os.environ.get("GNARK_TPU_MSM_C", "8"))
+BUCKETS = 1 << (C_BITS - 1)       # bucket magnitudes per window
 _VMEM_CAP = 7 << 20               # bucket-state budget (bytes)
 
 

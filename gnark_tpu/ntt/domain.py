@@ -51,10 +51,27 @@ def _mul_fn(ff: FF):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def _ntt_kernel(ff: FF, x, rev, stage_tw):
-    """Core transform. stage_tw: tuple of (2^s-half,) twiddle arrays."""
-    mul = _mul_fn(ff)
+    """Core transform. stage_tw: tuple of (2^s-half,) twiddle arrays.
+
+    On TPU each stage is ONE fused pallas butterfly pass
+    (mul+add+sub together); portable path keeps the jnp pipeline."""
+    from gnark_tpu import config
     n = x.shape[0]
+    L = ff.n
     y = x[rev]
+    if config.use_pallas():
+        from gnark_tpu.ff.pallas_ops import butterfly_p
+        for s, tw in enumerate(stage_tw, start=1):
+            m = 1 << s
+            half = m >> 1
+            y = y.reshape(n // m, m, L)
+            even = y[:, :half].reshape(-1, L)
+            odd = y[:, half:].reshape(-1, L)
+            ev, od = butterfly_p(ff, even, odd, tw[0], half)
+            y = jnp.concatenate([ev.reshape(n // m, half, L),
+                                 od.reshape(n // m, half, L)], axis=1)
+        return y.reshape(n, L)
+    mul = _mul_fn(ff)
     for s, tw in enumerate(stage_tw, start=1):
         m = 1 << s
         half = m >> 1
