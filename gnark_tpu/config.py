@@ -55,3 +55,10 @@ def use_native_solver() -> bool:
     if env is not None:
         return env == "1"
     return True
+
+
+def msm_impl() -> str:
+    """MSM kernel selection: "auto" (bucket on TPU, scan elsewhere),
+    "bucket", or "scan". GNARK_TPU_MSM_IMPL overrides."""
+    import os
+    return os.environ.get("GNARK_TPU_MSM_IMPL", "auto")

@@ -210,6 +210,19 @@ def msm(f, points, scalars, nbits: int, c: int | None = None,
     nbits:   scalar bit width (fr.bits)
     Returns a Jacobian point (batch shape ()).
     """
+    # Route through the VMEM-bucket mega-kernel on real TPU hardware
+    # (10x the scan path at 2^16); the scan kernel remains the
+    # portable/CPU-interpreter and Fp2 (G2) path.
+    from gnark_tpu import config
+    from gnark_tpu.fields import FIELDS
+    impl = config.msm_impl()
+    want_bucket = impl == "bucket" or (
+        impl == "auto" and jax.devices()[0].platform != "cpu")
+    if (want_bucket
+            and getattr(getattr(f, "p", None), "name", None) in FIELDS
+            and points[0].ndim == 2):      # prime-field coords only
+        from gnark_tpu.msm.bucket_kernel import msm_bucket
+        return msm_bucket(f, points, scalars, nbits)
     x, y, inf = points
     n = x.shape[0]
     # round the size up to a power-of-two class (>= 64) so repeated
