@@ -95,3 +95,28 @@ def test_ntt_batch_sharded_inverse_roundtrip(mesh8):
     back = np.asarray(ntt_batch_sharded(dom, fwd, mesh8, axis="shard",
                                         inverse=True))
     assert (back == np.asarray(enc)).all()
+
+
+def test_ntt_sharded_four_step(mesh8):
+    """ONE transform sharded across 8 devices (four-step + all-to-all)
+    == single-device Domain.fft/ifft, bit-exact."""
+    import random
+    import numpy as np
+    import jax.numpy as jnp
+    from gnark_tpu.ff import get_ff
+    from gnark_tpu.ntt import Domain
+    from gnark_tpu.parallel.sharded import ntt_sharded
+
+    ff = get_ff("bn254_fr")
+    n = 1 << 10
+    q = ff.p.modulus
+    rng = random.Random(17)
+    x = jnp.asarray(ff.encode([rng.randrange(q) for _ in range(n)]))
+    dom = Domain(ff, n)
+    got = np.asarray(ntt_sharded(ff, x, mesh8, axis="shard"))
+    want = np.asarray(dom.fft(x))
+    assert np.array_equal(got, want)
+    goti = np.asarray(ntt_sharded(ff, x, mesh8, axis="shard",
+                                  inverse=True))
+    wanti = np.asarray(dom.ifft(x))
+    assert np.array_equal(goti, wanti)
