@@ -247,3 +247,29 @@ def msm_bucket(ff: FF, points, scalars, nbits: int):
             [scalars, jnp.zeros((pad, scalars.shape[1]), scalars.dtype)])
     digits = signed_digits(scalars, nbits, C_BITS)
     return _msm_device(ff, (x, y, inf), digits, digits.shape[0])
+
+
+def msm_bucket_chunked(ff: FF, points, scalars, nbits: int,
+                       chunk: int | None = None):
+    """MSM for point sets beyond the device memory budget: stream
+    fixed-size chunks through msm_bucket and fold the per-chunk
+    Jacobian partials (the ICICLE chunked-MSM pattern,
+    backend/accelerated/icicle/groth16/bn254/icicle.go:555-782 —
+    chunk count from free device memory; here a fixed 2^20-point
+    default, env GNARK_TPU_MSM_CHUNK overrides, mirroring
+    ICICLE_MSM_CHUNK_CAP)."""
+    if chunk is None:
+        chunk = int(os.environ.get("GNARK_TPU_MSM_CHUNK", str(1 << 20)))
+    x, y, inf = points
+    n = x.shape[0]
+    if n <= chunk:
+        return msm_bucket(ff, points, scalars, nbits)
+    from gnark_tpu.ec.weierstrass import jac_add
+    acc = None
+    for off in range(0, n, chunk):
+        end = min(off + chunk, n)
+        part = msm_bucket(
+            ff, (x[off:end], y[off:end], inf[off:end]),
+            scalars[off:end], nbits)
+        acc = part if acc is None else jac_add(ff, acc, part)
+    return acc

@@ -110,6 +110,7 @@ def test_fp2_arith(name):
         assert (int(got[i][0]), int(got[i][1])) == w
 
 
+@pytest.mark.slow
 def test_g2_group_ops_bn254():
     curve = curves.CURVES["bn254"]
     f2h = curve.host_g2_field

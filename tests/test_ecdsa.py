@@ -79,6 +79,7 @@ class EcdsaCircuit(Circuit):
         sw.ecdsa_verify(api, P, pub, self.h, self.r, self.s)
 
 
+@pytest.mark.slow
 def test_ecdsa_verify():
     """One signed vector through engine (+negative) and native solver."""
     from gnark_tpu.native import solve_native

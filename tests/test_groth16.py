@@ -65,6 +65,7 @@ class HintCircuit(Circuit):
         api.assert_is_equal(api.is_zero(api.sub(self.x, 0xA7)), 1)
 
 
+@pytest.mark.slow
 def test_groth16_with_hints():
     cs = compile_circuit(HintCircuit(), fields.BN254_FR)
     rng = random.Random(7)
@@ -92,6 +93,7 @@ class CommitCircuit(Circuit):
                                        api.mul(c, self.y)))
 
 
+@pytest.mark.slow
 def test_groth16_commitment():
     cs = compile_circuit(CommitCircuit(), fields.BN254_FR)
     assert len(cs.commitments) == 1
@@ -108,6 +110,7 @@ def test_groth16_commitment():
     assert not groth16.verify(bad, vk, pub)
 
 
+@pytest.mark.slow
 def test_groth16_lookup_commitment():
     """Regression: Pedersen basis must pair with committed values in
     committed_wires ORDER (not wire-id order) — lookup circuits commit

@@ -11,6 +11,9 @@ from gnark_tpu.frontend.scs import SCSBuilder
 from gnark_tpu.io import keydump
 
 from tests.test_frontend import Cubic
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy e2e: full tier only
 
 
 def test_groth16_pk_roundtrip_proves():

@@ -12,6 +12,8 @@ from gnark_tpu.frontend.scs import SCSBuilder
 
 from tests.test_frontend import Cubic
 
+pytestmark = pytest.mark.slow  # heavy e2e: full tier only
+
 
 def test_phase1_two_contributors():
     s0 = mpcsetup.init_phase1("bn254", 6)

@@ -52,6 +52,7 @@ def test_msm_g1_bn254(n, c, g):
                 int(ffp.decode(np.asarray(ry)))) == want
 
 
+@pytest.mark.slow
 def test_msm_g2_bn254():
     curve = curves.CURVES["bn254"]
     ff2 = get_ff2(curve.fp.name, curve.fp2_nr)

@@ -19,6 +19,7 @@ class Cubic381(Circuit):
         api.assert_is_equal(api.add(x3, self.x, 5), self.y)
 
 
+@pytest.mark.slow
 def test_groth16_bls12_381():
     cs = compile_circuit(Cubic381(), fields.BLS12_381_FR)
     rng = random.Random(11)

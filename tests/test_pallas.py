@@ -69,6 +69,7 @@ def _check(curve, ffp, fh, pts, ks, R):
     assert got == want
 
 
+@pytest.mark.slow
 def test_pallas_ec_kernels_interpret(pallas_on):
     from gnark_tpu.ec.pallas_ec import jac_add_p, jac_add_mixed_p, jac_double_p
     curve, ffp, fh, pts, ks, points, sc = _setup(4)
@@ -95,6 +96,7 @@ def test_pallas_ec_kernels_interpret(pallas_on):
             assert (int(xs[i]), int(ys[i])) == w
 
 
+@pytest.mark.slow
 def test_sorted_msm_jnp(pallas_off):
     curve, ffp, fh, pts, ks, points, sc = _setup(30)
     R = msm_sorted(ffp, points, sc, curve.fr.bits)

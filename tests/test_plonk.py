@@ -34,6 +34,7 @@ def test_plonk_wrong_public(cubic_plonk):
     assert not plonk.verify(proof, vk, [36])
 
 
+@pytest.mark.slow
 def test_plonk_tampered(cubic_plonk):
     cs, pk, vk = cubic_plonk
     pub, sec = witness(Cubic(x=3, y=35), cs)
@@ -57,6 +58,7 @@ class MultiGate(Circuit):
         api.assert_is_equal(z, 1)
 
 
+@pytest.mark.slow
 def test_plonk_multigate():
     cs = compile_circuit(MultiGate(), fields.BN254_FR,
                          builder_cls=SCSBuilder)
@@ -74,6 +76,7 @@ def test_plonk_multigate():
 # BSB22 commitment circuits (Qcp columns)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_plonk_lookup_commitment():
     """api.commit circuits (log-derivative lookup) prove under PLONK
     (reference backend/plonk/bn254/setup.go:211-218 Qcp columns,

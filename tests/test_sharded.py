@@ -48,6 +48,7 @@ def _points_scalars(n, seed=3):
     return ffp, (x, y, inf), scalars, ks
 
 
+@pytest.mark.slow
 def test_msm_sharded_matches_single_device(mesh8):
     n = 512
     ffp, points, scalars, ks = _points_scalars(n)

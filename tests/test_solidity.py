@@ -18,6 +18,8 @@ from gnark_tpu.pairing import get_pairing
 
 from tests.test_frontend import Cubic
 
+pytestmark = pytest.mark.slow  # heavy e2e: full tier only
+
 
 @pytest.fixture(scope="module")
 def setup_proof():

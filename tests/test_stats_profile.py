@@ -27,3 +27,70 @@ def test_profiler():
     report = p.report()
     assert "total constraints" in report
     assert any("mimc" in loc for loc, _ in p.top_frames())
+
+
+def test_pprof_export(tmp_path):
+    """write_pprof emits a well-formed gzipped protobuf (walked with a
+    minimal decoder; sample/location/function/string sections all
+    present and cross-consistent)."""
+    import gzip
+    from gnark_tpu import fields, profile
+    from gnark_tpu.frontend import Circuit, Public, compile_circuit
+
+    class C(Circuit):
+        y: Public
+
+        def define(self, api):
+            acc = self.y
+            for _ in range(5):
+                acc = api.mul(acc, acc)
+            api.assert_is_equal(api.is_zero(acc), 0)
+
+    with profile.start() as p:
+        compile_circuit(C(), fields.BN254_FR)
+    out = tmp_path / "prof.pb.gz"
+    profile.write_pprof(p, str(out))
+    raw = gzip.open(out, "rb").read()
+
+    # minimal protobuf walk
+    def walk(buf):
+        i = 0
+        fields_seen = {}
+        while i < len(buf):
+            tag = 0
+            shift = 0
+            while True:
+                b = buf[i]; i += 1
+                tag |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            fno, wire = tag >> 3, tag & 7
+            if wire == 2:
+                ln = 0; shift = 0
+                while True:
+                    b = buf[i]; i += 1
+                    ln |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        break
+                payload = buf[i:i + ln]; i += ln
+                fields_seen.setdefault(fno, []).append(payload)
+            elif wire == 0:
+                while buf[i] & 0x80:
+                    i += 1
+                i += 1
+                fields_seen.setdefault(fno, []).append(None)
+            else:
+                raise AssertionError(f"unexpected wire type {wire}")
+        return fields_seen
+
+    top = walk(raw)
+    assert 1 in top          # sample_type
+    assert 2 in top          # samples
+    assert 4 in top          # locations
+    assert 5 in top          # functions
+    assert 6 in top          # string table
+    assert top[6][0] == b""  # first string must be empty
+    assert len(top[4]) == len(top[5])   # one location per function here
+    assert p.total > 0
