@@ -73,3 +73,31 @@ def test_msm_g2_bn254():
     want = host.ec_msm(f2h, pts, ks)
     gx, gy = ff2.decode(np.asarray(rx)), ff2.decode(np.asarray(ry))
     assert ((int(gx[0]), int(gx[1])), (int(gy[0]), int(gy[1]))) == want
+
+
+@pytest.mark.slow
+def test_msm_bucket_chunked_matches():
+    """Chunked streaming == single-shot bucket MSM (tiny chunks)."""
+    from gnark_tpu.msm.bucket_kernel import msm_bucket, msm_bucket_chunked
+    curve = curves.CURVES["bn254"]
+    ffp_ = get_ff(curve.fp.name)
+    ffr_ = get_ff(curve.fr.name)
+    n = 96
+    f1 = curve.host_fp
+    pts, cur = [], curve.g1
+    for _ in range(n):
+        pts.append(cur)
+        cur = host.ec_add(f1, cur, curve.g1)
+    x = jnp.asarray(ffp_.encode([p[0] for p in pts]))
+    y = jnp.asarray(ffp_.encode([p[1] for p in pts]))
+    inf = jnp.zeros((n,), bool)
+    ks = [RNG.randrange(curve.fr.modulus) for _ in range(n)]
+    scalars = scalar_limbs(ffr_, ks)
+    nbits = curve.fr.bits
+    whole = msm_bucket(ffp_, (x, y, inf), scalars, nbits)
+    parts = msm_bucket_chunked(ffp_, (x, y, inf), scalars, nbits,
+                               chunk=32)
+    a = jac_to_affine(ffp_, tuple(v[None] for v in whole))
+    b = jac_to_affine(ffp_, tuple(v[None] for v in parts))
+    for u, v in zip(a, b):
+        assert np.array_equal(np.asarray(u), np.asarray(v))
