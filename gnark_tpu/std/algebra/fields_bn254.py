@@ -1,44 +1,64 @@
-"""In-circuit BN254 tower fields over the EMULATED base field.
+"""In-circuit pairing tower fields over EMULATED base fields.
 
-Reference: std/algebra/emulated/fields_bn254 — Fp2/Fp6/Fp12 towers for
-the in-circuit BN254 pairing (recursion over a non-2-chain curve).
+Reference: std/algebra/emulated/fields_bn254 + fields_bls12381 —
+Fp2/Fp12 towers for in-circuit pairings over non-2-chain curves.
 
 TPU-build design: instead of the reference's nested E2/E6/E12 structs,
-Fp12 is the DIRECT sextic algebra Fp2[w]/(w^6 - xi), xi = 9 + u — the
-same representation the host engines use (pairing/tate.py ExtField,
+Fp12 is the DIRECT sextic algebra Fp2[w]/(w^6 - xi) — the same
+representation the host engines use (pairing/tate.py ExtField,
 pairing/ate.py), so host values/hints drop straight into circuit
 constants. Every coefficient of a product is certified with ONE
-emulated sum-of-products carry chain (std/math/emulated.py), which is
-the constraint-count analog of the reference's lazy-reduction
-multivariate Eval (fields_bn254/e12.go Mul -> mulMod over polynomials).
+emulated sum-of-products carry chain (std/math/emulated.py), the
+constraint-count analog of the reference's lazy-reduction multivariate
+Eval (fields_bn254/e12.go Mul -> mulMod over polynomials).
 
-Elements: EF2 = (Element, Element); EF12 = 6-tuple of EF2.
+Parametrized by TowerParams (BN254: u^2=-1, xi=9+u, 4 limbs;
+BLS12-381: u^2=-1, xi=1+u, 6 limbs). Elements: EF2 =
+(Element, Element); EF12 = 6-tuple of EF2.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 from gnark_tpu.constraint.hints import register_hint
 from gnark_tpu.ec.host import Fp, Fp2
 from gnark_tpu.pairing.tate import ExtField, pow_in
 from gnark_tpu.std.math import emulated as emu
 
+
+@dataclasses.dataclass(frozen=True)
+class TowerParams:
+    name: str
+    fp: emu.EmuParams
+    xi: tuple                 # (x0, x1), small ints
+
+
+BN254_TOWER = TowerParams("bn254", emu.BN254_FP_EMU, (9, 1))
+BLS12_381_TOWER = TowerParams("bls12_381", emu.BLS12_381_FP_EMU, (1, 1))
+
+# back-compat aliases (the original module was BN254-only)
 P_MOD = emu.BN254_FP_EMU.modulus
-XI = (9, 1)                      # w^6 = 9 + u;  u^2 = -1
+XI = (9, 1)
 
 
-def _host_ext():
-    fp = Fp(P_MOD)
-    fq = Fp2(fp, P_MOD - 1)
-    return ExtField(fq, 6, XI)
+def _host_ext(tower: TowerParams = BN254_TOWER):
+    p = tower.fp.modulus
+    fp = Fp(p)
+    fq = Fp2(fp, p - 1)
+    return ExtField(fq, 6, tower.xi)
 
 
-@register_hint("bn254_fp12_inv")
+@register_hint("emu_fp12_inv")
 def _fp12_inv(q, inputs):
-    """48 limbs (12 Fp coords x 4 limbs, coords ordered
-    (c_i0, c_i1) for w^i) -> inverse's 48 limbs."""
-    k = emu.K
-    ext = _host_ext()
-    vals = [emu._val(inputs, k, k * i) % P_MOD for i in range(12)]
+    """[k, x0, x1, p_limbs(k), 12 coords x k limbs] -> inverse's
+    12*k limbs. Coords ordered (c_i0, c_i1) for w^i."""
+    k, x0, x1 = inputs[0], inputs[1], inputs[2]
+    p = emu._val(inputs, k, 3)
+    fp = Fp(p)
+    ext = ExtField(Fp2(fp, p - 1), 6, (x0, x1))
+    off = 3 + k
+    vals = [emu._val(inputs, k, off + k * i) % p for i in range(12)]
     e = tuple((vals[2 * i], vals[2 * i + 1]) for i in range(6))
     out = ext.inv(e)
     limbs = []
@@ -52,9 +72,11 @@ class EF2:
     """Emulated Fp2 = Fp[u]/(u^2 + 1). Elements are pairs of
     emulated-Fp Elements."""
 
-    def __init__(self, api, fe: emu.EmulatedField | None = None):
+    def __init__(self, api, fe: emu.EmulatedField | None = None,
+                 tower: TowerParams = BN254_TOWER):
         self.api = api
-        self.fe = fe or emu.EmulatedField(api, emu.BN254_FP_EMU)
+        self.tower = tower
+        self.fe = fe or emu.EmulatedField(api, tower.fp)
         z, o = self.fe.zero, self.fe.one
         self.zero = (z, z)
         self.one = (o, z)
@@ -120,10 +142,11 @@ class EF2:
         return (r0, r1)
 
     def mul_by_xi(self, a):
-        """a * (9 + u): (9a0 - a1, a0 + 9a1) — pure linear."""
+        """a * xi with xi = x0 + x1 u (small ints) — pure linear."""
+        x0, x1 = self.tower.xi
         fe = self.fe
-        return (fe.sum_of_products(lins=[(9, a[0]), (-1, a[1])]),
-                fe.sum_of_products(lins=[(1, a[0]), (9, a[1])]))
+        return (fe.sum_of_products(lins=[(x0, a[0]), (-x1, a[1])]),
+                fe.sum_of_products(lins=[(x1, a[0]), (x0, a[1])]))
 
     def inv(self, a):
         """1/(a0 + a1 u) = (a0 - a1 u)/(a0^2 + a1^2)."""
@@ -150,19 +173,21 @@ class EF2:
 class EF12:
     """Emulated Fp12 as Fp2[w]/(w^6 - xi) (direct sextic)."""
 
-    def __init__(self, api):
+    def __init__(self, api, tower: TowerParams = BN254_TOWER):
         self.api = api
-        self.f2 = EF2(api)
+        self.tower = tower
+        self.f2 = EF2(api, tower=tower)
         self.fe = self.f2.fe
         self.zero = tuple(self.f2.zero for _ in range(6))
         self.one = tuple([self.f2.one] + [self.f2.zero] * 5)
-        host = _host_ext()
+        host = _host_ext(tower)
         self.host = host
-        p = P_MOD
+        p = tower.fp.modulus
         hf = host.base
-        gamma = pow_in(hf, XI, (p - 1) // 6)
-        gamma2 = pow_in(hf, XI, (p * p - 1) // 6)
-        delta = pow_in(hf, XI, (p ** 6 - 1) // 6)
+        xi = tower.xi
+        gamma = pow_in(hf, xi, (p - 1) // 6)
+        gamma2 = pow_in(hf, xi, (p * p - 1) // 6)
+        delta = pow_in(hf, xi, (p ** 6 - 1) // 6)
         self.gammas = [pow_in(hf, gamma, i) for i in range(6)]
         self.gammas2 = [pow_in(hf, gamma2, i) for i in range(6)]
         self.deltas = [pow_in(hf, delta, i) for i in range(6)]
@@ -184,6 +209,14 @@ class EF12:
     def sqr(self, a):
         return self._mul_like(a, a)
 
+    def _xi_fold(self, p0, p1, ai, bj):
+        """Append the component terms of xi*(ai*bj) to p0/p1."""
+        x0, x1 = self.tower.xi
+        p0 += [(x0, ai[0], bj[0]), (-x0, ai[1], bj[1]),
+               (-x1, ai[0], bj[1]), (-x1, ai[1], bj[0])]
+        p1 += [(x1, ai[0], bj[0]), (-x1, ai[1], bj[1]),
+               (x0, ai[0], bj[1]), (x0, ai[1], bj[0])]
+
     def _mul_like(self, a, b):
         fe = self.fe
         out = []
@@ -197,38 +230,32 @@ class EF12:
                         p0 += [(1, ai[0], bj[0]), (-1, ai[1], bj[1])]
                         p1 += [(1, ai[0], bj[1]), (1, ai[1], bj[0])]
                     elif m == k + 6:
-                        # xi*(ai*bj) with xi = 9+u:
-                        # c0 = 9(x0) - (x1); c1 = (x0) + 9(x1)
-                        # where x0 = ai0bj0 - ai1bj1, x1 = ai0bj1+ai1bj0
-                        p0 += [(9, ai[0], bj[0]), (-9, ai[1], bj[1]),
-                               (-1, ai[0], bj[1]), (-1, ai[1], bj[0])]
-                        p1 += [(1, ai[0], bj[0]), (-1, ai[1], bj[1]),
-                               (9, ai[0], bj[1]), (9, ai[1], bj[0])]
+                        self._xi_fold(p0, p1, ai, bj)
             out.append((fe.sum_of_products(p0), fe.sum_of_products(p1)))
         return tuple(out)
 
-    def mul_sparse013(self, f, l0, l1, l3):
-        """f * (l0 + l1 w + l3 w^3): the ate line shape. l0/l1/l3 are
-        EF2 elements (l0 typically with zero u-part)."""
+    def mul_sparse(self, f, parts: dict):
+        """f * sum_j parts[j] w^j for a sparse dict of EF2 elements
+        (line shapes: BN D-twist {0,1,3}; BLS M-twist {0,3,5})."""
         fe = self.fe
-        sparse = {0: l0, 1: l1, 3: l3}
         out = []
         for k in range(6):
             p0, p1 = [], []
             for i in range(6):
-                for j, lj in sparse.items():
+                fi = f[i]
+                for j, lj in parts.items():
                     m = i + j
-                    fi = f[i]
                     if m == k:
                         p0 += [(1, fi[0], lj[0]), (-1, fi[1], lj[1])]
                         p1 += [(1, fi[0], lj[1]), (1, fi[1], lj[0])]
                     elif m == k + 6:
-                        p0 += [(9, fi[0], lj[0]), (-9, fi[1], lj[1]),
-                               (-1, fi[0], lj[1]), (-1, fi[1], lj[0])]
-                        p1 += [(1, fi[0], lj[0]), (-1, fi[1], lj[1]),
-                               (9, fi[0], lj[1]), (9, fi[1], lj[0])]
+                        self._xi_fold(p0, p1, fi, lj)
             out.append((fe.sum_of_products(p0), fe.sum_of_products(p1)))
         return tuple(out)
+
+    def mul_sparse013(self, f, l0, l1, l3):
+        """f * (l0 + l1 w + l3 w^3) — the BN ate line shape."""
+        return self.mul_sparse(f, {0: l0, 1: l1, 3: l3})
 
     # -- Frobenius ------------------------------------------------------------
 
@@ -257,13 +284,16 @@ class EF12:
 
     def inv(self, a):
         api = self.api
+        k = self.fe.k
+        x0, x1 = self.tower.xi
         flat = []
         for c in a:
             for comp in c:
                 flat.extend(comp.limbs)
-        outs = api.new_hint("bn254_fp12_inv", 12 * emu.K, *flat)
+        outs = api.new_hint("emu_fp12_inv", 12 * k, k, x0, x1,
+                            *self.fe.p_limbs, *flat)
         fe = self.fe
-        coords = [fe.from_limb_vars(outs[emu.K * i:emu.K * (i + 1)])
+        coords = [fe.from_limb_vars(outs[k * i:k * (i + 1)])
                   for i in range(12)]
         r = self.from_vars(coords)
         self.assert_eq(self.mul(a, r), self.one)

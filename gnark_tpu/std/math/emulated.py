@@ -81,6 +81,9 @@ BN254_FR_EMU = EmuParams(
 BLS12_381_FR_EMU = EmuParams(
     "bls12_381_fr",
     0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001)
+BLS12_381_FP_EMU = EmuParams(
+    "bls12_381_fp",
+    0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB)
 BLS12_377_FR_EMU = EmuParams(
     "bls12_377_fr",
     8444461749428370424248824938781546531375899335154063827935233455917409239041)
