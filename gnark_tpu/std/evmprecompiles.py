@@ -5,8 +5,10 @@ Implemented: 0x01 ECRECOVER, 0x02 SHA256, 0x04 IDENTITY, 0x05 MODEXP,
 0x100 P256VERIFY. The BN/secp/P-256 ops run over EMULATED base fields
 so they compose inside any circuit field (the reference's
 file-per-precompile layout maps onto these functions).
-Remaining (KZG point eval 0x0a, BLS12-381 0x0b-0x11): need the
-emulated BLS12-381 tower — follow-up.
+Also: 0x0a KZG point evaluation (EIP-4844) and the BLS12-381 family
+0x0b G1ADD / 0x0c G1MSM / 0x0d G2ADD / 0x0f PAIRING over the emulated
+BLS12-381 tower. Remaining: 0x0e G2MSM convenience wrapper and the
+0x10/0x11 SSWU map-to-curve precompiles.
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 
 from gnark_tpu.constraint.hints import register_hint
+from gnark_tpu.ec.curves import CURVES
 from gnark_tpu.std.algebra import sw_emulated as sw
 from gnark_tpu.std.hash import sha256 as sha_gadget
 from gnark_tpu.std.math import emulated as emu
@@ -177,3 +180,100 @@ def ecpair(api, pairs):
 def p256_verify(api, pub, h_limbs, r_limbs, s_limbs):
     """0x100 (RIP-7212 P256VERIFY): ECDSA over NIST P-256."""
     sw.ecdsa_verify(api, sw.P256, pub, h_limbs, r_limbs, s_limbs)
+
+
+# -- BLS12-381 family (EIP-2537 0x0b-0x0f, EIP-4844 0x0a) ---------------------
+
+BLS381_G1 = sw.SWParams(
+    name="bls12_381_g1",
+    fp=emu.BLS12_381_FP_EMU,
+    fr=emu.BLS12_381_FR_EMU,
+    a=0, b=4,
+    gx=0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+    gy=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+)
+
+
+def bls_g1add(api, p1, p2):
+    """0x0b: BLS12-381 G1 add (distinct points)."""
+    curve = sw.EmulatedCurve(api, BLS381_G1)
+    curve.assert_on_curve(p1)
+    curve.assert_on_curve(p2)
+    return curve.add_distinct(p1, p2)
+
+
+def bls_g1msm(api, points, scalar_bits_list):
+    """0x0c: BLS12-381 G1 MSM (scalars as LSB-first bit lists)."""
+    curve = sw.EmulatedCurve(api, BLS381_G1)
+    acc = None
+    for p, bits in zip(points, scalar_bits_list):
+        curve.assert_on_curve(p)
+        term = curve.scalar_mul_bits(p, bits)
+        acc = term if acc is None else curve.add_distinct(acc, term)
+    return acc
+
+
+def bls_g2add(api, q1, q2):
+    """0x0d: BLS12-381 G2 add (distinct points on the twist)."""
+    from gnark_tpu.std.algebra.pairing_bls12381 import PairingBLS12381
+    pr = PairingBLS12381(api)
+    pr.assert_on_g2_curve(q1)
+    pr.assert_on_g2_curve(q2)
+    out, _ = pr.g2_add(q1, q2)
+    return out
+
+
+def bls_pairing_check(api, pairs):
+    """0x0f: BLS12-381 pairing-product check (== 1)."""
+    from gnark_tpu.std.algebra.pairing_bls12381 import PairingBLS12381
+    pr = PairingBLS12381(api)
+    for P, Q in pairs:
+        pr.assert_on_g1(P)
+        pr.assert_on_g2_curve(Q)
+    pr.pairing_check(pairs)
+
+
+def kzg_point_eval(api, commitment, proof_w, z_limbs, y_limbs,
+                   g2_tau):
+    """0x0a (EIP-4844 point evaluation): assert the KZG opening
+    p(z) == y for the blob commitment, over BLS12-381.
+
+        e(C - y*G1 + z*W, G2) * e(-W, tau*G2) == 1
+
+    z/y are emulated fr limb lists; g2_tau the trusted-setup host G2
+    point; commitment/proof emulated G1 points."""
+    from gnark_tpu.std.algebra.pairing_bls12381 import (G2Point381,
+                                                        PairingBLS12381)
+    pr = PairingBLS12381(api)
+    curve = sw.EmulatedCurve(api, BLS381_G1)
+    fr = emu.EmulatedField(api, emu.BLS12_381_FR_EMU)
+    z = fr.from_limb_vars(z_limbs)
+    y = fr.from_limb_vars(y_limbs)
+
+    curve.assert_on_curve(commitment)
+    curve.assert_on_curve(proof_w)
+
+    def ebits(e):
+        bits = []
+        for l in e.limbs:
+            if isinstance(l, int):
+                bits += [(l >> i) & 1 for i in range(emu.B)]
+            else:
+                bits += api.to_binary(l, emu.B)
+        return bits
+
+    g1_gen = (curve.f.from_const(BLS381_G1.gx),
+              curve.f.from_const(BLS381_G1.gy))
+    yg = curve.scalar_mul_bits(g1_gen, ebits(y))
+    zw = curve.scalar_mul_bits(proof_w, ebits(z))
+    a = curve.add_distinct(commitment,
+                           (yg[0], curve.f.neg(yg[1])))
+    a = curve.add_distinct(a, zw)
+    neg_w = (proof_w[0], curve.f.neg(proof_w[1]))
+
+    c381 = CURVES["bls12_381"]
+    g2_gen = G2Point381(pr.f2.from_const(tuple(c381.g2[0])),
+                        pr.f2.from_const(tuple(c381.g2[1])))
+    g2_tau_v = G2Point381(pr.f2.from_const(tuple(g2_tau[0])),
+                          pr.f2.from_const(tuple(g2_tau[1])))
+    pr.pairing_check([(a, g2_gen), (neg_w, g2_tau_v)])

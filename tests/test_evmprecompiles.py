@@ -294,3 +294,101 @@ def test_p256_verify_precompile():
     bad.qx, bad.qy, bad.h = c.qx, c.qy, limbs((h + 1) % n)
     bad.r, bad.s = c.r, c.s
     assert not is_solved(bad, F)
+
+
+# -- BLS12-381 family ---------------------------------------------------------
+
+BLS = curves.CURVES["bls12_381"]
+
+
+def limbs381(v):
+    k = emu.BLS12_381_FP_EMU.k
+    return [(v >> (emu.B * i)) & emu.MASK for i in range(k)]
+
+
+def limbs381_fr(v):
+    k = emu.BLS12_381_FR_EMU.k
+    return [(v >> (emu.B * i)) & emu.MASK for i in range(k)]
+
+
+@pytest.mark.slow
+def test_bls_g1add_precompile():
+    fh = BLS.host_fp
+    P = host.ec_mul(fh, BLS.g1, 5)
+    Q = host.ec_mul(fh, BLS.g1, 9)
+    R = host.ec_add(fh, P, Q)
+    k = emu.BLS12_381_FP_EMU.k
+
+    class C(Circuit):
+        ins: list[Secret]
+        rx: list[Public]
+
+        def __init__(self, **kw):
+            self.ins = [None] * (4 * k)
+            self.rx = [None] * k
+            super().__init__(**kw)
+
+        def define(self, api):
+            f = emu.EmulatedField(api, emu.BLS12_381_FP_EMU)
+            els = [f.from_limb_vars(self.ins[k * i:k * (i + 1)])
+                   for i in range(4)]
+            r = evm.bls_g1add(api, (els[0], els[1]), (els[2], els[3]))
+            f.assert_is_equal(r[0], f.from_limb_vars(self.rx))
+
+    good = C()
+    good.ins = limbs381(P[0]) + limbs381(P[1]) + limbs381(Q[0]) \
+        + limbs381(Q[1])
+    good.rx = limbs381(R[0])
+    assert is_solved(good, F)
+    bad = C()
+    bad.ins = good.ins
+    bad.rx = limbs381((R[0] + 1) % BLS.fp.modulus)
+    assert not is_solved(bad, F)
+
+
+@pytest.mark.slow
+def test_kzg_point_eval_precompile():
+    """EIP-4844 point evaluation over a real BLS12-381 KZG opening."""
+    import random as _r
+    from gnark_tpu.backend import kzg
+    rng = _r.Random(4844)
+    q = BLS.fr.modulus
+    srs = kzg.setup_srs("bls12_381", 8, rng=rng)
+    coeffs = [rng.randrange(q) for _ in range(6)]
+    com = kzg.commit(srs, coeffs)
+    z = rng.randrange(2, q)
+    proof = kzg.open_at(srs, coeffs, z)
+    assert kzg.verify_opening(srs, com, proof, z)
+    k = emu.BLS12_381_FP_EMU.k
+    kf = emu.BLS12_381_FR_EMU.k
+
+    class C(Circuit):
+        ins: list[Secret]
+        zl: list[Public]
+        yl: list[Public]
+
+        def __init__(self, **kw):
+            self.ins = [None] * (4 * k)
+            self.zl = [None] * kf
+            self.yl = [None] * kf
+            super().__init__(**kw)
+
+        def define(self, api):
+            f = emu.EmulatedField(api, emu.BLS12_381_FP_EMU)
+            els = [f.from_limb_vars(self.ins[k * i:k * (i + 1)])
+                   for i in range(4)]
+            evm.kzg_point_eval(api, (els[0], els[1]),
+                               (els[2], els[3]),
+                               self.zl, self.yl, srs.g2_tau)
+
+    good = C()
+    good.ins = (limbs381(com[0]) + limbs381(com[1])
+                + limbs381(proof.h[0]) + limbs381(proof.h[1]))
+    good.zl = limbs381_fr(z)
+    good.yl = limbs381_fr(proof.claimed_value)
+    assert is_solved(good, F)
+    bad = C()
+    bad.ins = good.ins
+    bad.zl = good.zl
+    bad.yl = limbs381_fr((proof.claimed_value + 1) % q)
+    assert not is_solved(bad, F)
