@@ -113,9 +113,24 @@ class Proof:
     poks: list = dataclasses.field(default_factory=list)
 
 
-def _hash_to_field(curve, point) -> int:
+def _hash_to_field(curve, point, recursion: bool = False) -> int:
     """Commitment wire value from a commitment point (our dst; the
-    reference uses hash_to_field with "BSB22-Plonk"/Groth16 dst)."""
+    reference uses hash_to_field with "BSB22-Plonk"/Groth16 dst).
+
+    recursion=True: MiMC over the 2-chain outer field, truncated to
+    rbits-8 bits, so the in-circuit verifier recomputes it natively
+    (std/recursion/groth16 commitment support)."""
+    if recursion:
+        from gnark_tpu.backend.transcript import outer_mimc_field
+        from gnark_tpu.std.hash.mimc import MiMC
+        h = MiMC(outer_mimc_field(curve))
+        h.write(int.from_bytes(b"BSB22-Groth16", "big"))
+        if point is host.INF:
+            h.write(0, 0)
+        else:
+            h.write(point[0], point[1])
+        mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
+        return h.sum() & mask
     import hashlib
     h = hashlib.sha256(b"BSB22-Groth16-gnark-tpu")
     nb = -(-curve.fp.modulus.bit_length() // 8)
@@ -332,7 +347,7 @@ def _g2_base(ff2, curve):
 # ---------------------------------------------------------------------------
 
 def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
-          hint_overrides=None):
+          hint_overrides=None, recursion_friendly: bool = False):
     curve = pk.curve
     q = curve.fr.modulus
     rnd = rng.randrange if rng is not None else \
@@ -354,7 +369,8 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
             pok = host.ec_msm(f1, key.basis_exp_sigma, vals)
             commitments.append(C)
             poks.append(pok)
-            return [_hash_to_field(curve, C)]
+            return [_hash_to_field(curve, C,
+                                   recursion_friendly)]
 
         overrides["bsb22"] = _bsb22_override
 
@@ -422,7 +438,8 @@ def _tup1(P):
 # Verify
 # ---------------------------------------------------------------------------
 
-def verify(proof: Proof, vk: VerifyingKey, public_values) -> bool:
+def verify(proof: Proof, vk: VerifyingKey, public_values,
+           recursion_friendly: bool = False) -> bool:
     """e(Ar, Bs) == e(alpha, beta) * e(kSum, gamma) * e(Krs, delta),
     checked as FE(ML(Krs,-d)*ML(Ar,Bs)*ML(kSum,-g)) == vk.e
     (verify.go:70-143); commitment-wire values recomputed from the
@@ -446,7 +463,9 @@ def verify(proof: Proof, vk: VerifyingKey, public_values) -> bool:
             f"got {len(public_values)}")
     f1 = curve.host_fp
     # recompute commitment wire values and extend the public vector
-    extended = [v % q for v in public_values] +         [_hash_to_field(curve, C) for C in proof.commitments]
+    extended = [v % q for v in public_values] + \
+        [_hash_to_field(curve, C, recursion_friendly)
+         for C in proof.commitments]
     ksum = vk.g1_k[0]
     for v, pt in zip(extended, vk.g1_k[1:]):
         ksum = host.ec_add(f1, ksum, host.ec_mul(f1, pt, v % q))

@@ -281,17 +281,8 @@ def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
 # transcript binding (shared by prove/verify)
 # ---------------------------------------------------------------------------
 
-def _outer_mimc_field(curve) -> str:
-    """Field-registry name of the curve's BASE field (= the 2-chain
-    outer scalar field), for recursion-friendly MiMC transcripts."""
-    from gnark_tpu import fields
-    from gnark_tpu.std.hash.mimc import PARAMS
-    names = [n for n, f in fields.FIELDS.items()
-             if f.modulus == curve.fp.modulus]
-    for n in names:
-        if n in PARAMS:          # need MiMC constants for this field
-            return n
-    raise ValueError(f"no MiMC params for fp({curve.name}); have {names}")
+from gnark_tpu.backend.transcript import outer_mimc_field as \
+    _outer_mimc_field
 
 
 def _new_transcript(vk: PlonkVerifyingKey, recursion: bool = False):

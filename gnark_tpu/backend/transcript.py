@@ -112,3 +112,17 @@ class MimcTranscript:
         self._value[name] = v
         self._done.append(name)
         return v
+
+
+def outer_mimc_field(curve) -> str:
+    """Field-registry name of the curve's BASE field (= the 2-chain
+    outer scalar field) that has MiMC parameters — for
+    recursion-friendly transcripts and hash-to-field."""
+    from gnark_tpu import fields
+    from gnark_tpu.std.hash.mimc import PARAMS
+    names = [n for n, f in fields.FIELDS.items()
+             if f.modulus == curve.fp.modulus]
+    for n in names:
+        if n in PARAMS:
+            return n
+    raise ValueError(f"no MiMC params for fp({curve.name}); have {names}")

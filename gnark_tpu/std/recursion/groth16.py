@@ -24,11 +24,16 @@ from gnark_tpu.std.algebra.sw_bls12377 import G1Circuit, G2Circuit
 
 def proof_witness(proof):
     """Flatten a backend.groth16.Proof (bls12_377) into the assignment
-    dict fields expected by a circuit using assert_proof."""
+    dict fields expected by a circuit using assert_proof. Commitment
+    points (BSB22) flatten to cm{i}_x/y, pok{i}_x/y."""
     (arx, ary), (krx, kry) = proof.ar, proof.krs
     (bx0, bx1), (by0, by1) = proof.bs
-    return dict(ar_x=arx, ar_y=ary, krs_x=krx, krs_y=kry,
-                bs_x0=bx0, bs_x1=bx1, bs_y0=by0, bs_y1=by1)
+    out = dict(ar_x=arx, ar_y=ary, krs_x=krx, krs_y=kry,
+               bs_x0=bx0, bs_x1=bx1, bs_y0=by0, bs_y1=by1)
+    for i, (C, pok) in enumerate(zip(proof.commitments, proof.poks)):
+        out[f"cm{i}_x"], out[f"cm{i}_y"] = C
+        out[f"pok{i}_x"], out[f"pok{i}_y"] = pok
+    return out
 
 
 def assert_proof(api, vk, proof_vars, publics):
@@ -41,10 +46,15 @@ def assert_proof(api, vk, proof_vars, publics):
         constant-one wire).
     """
     assert vk.curve.name == "bls12_377", "2-chain inner must be bls12_377"
-    assert not vk.commitment_g2_sigma, \
-        "commitment circuits need the pedersen leg (not wired yet)"
-    if len(publics) != len(vk.g1_k) - 1:
-        raise ValueError(f"want {len(vk.g1_k) - 1} inner publics")
+    nb_cm = len(vk.commitment_g2_sigma)
+    if len(publics) != len(vk.g1_k) - 1 - nb_cm:
+        raise ValueError(
+            f"want {len(vk.g1_k) - 1 - nb_cm} inner publics")
+    commitments = proof_vars.get("commitments", [])
+    poks = proof_vars.get("poks", [])
+    assert len(commitments) == nb_cm and len(poks) == nb_cm, \
+        "commitment circuits need the inner proof's BSB22 points " \
+        "(prove with recursion_friendly=True)"
 
     g1 = G1Circuit(api)
     g2 = G2Circuit(api)
@@ -61,14 +71,45 @@ def assert_proof(api, vk, proof_vars, publics):
     g1.assert_on_curve(ar)
     g1.assert_on_curve(krs)
     g2.assert_on_curve(bs)
+    for P in list(commitments) + list(poks):
+        g1.assert_on_curve(P)
 
-    # ksum = K[0] + sum publics[i] * K[i+1]  (variable scalars,
-    # constant bases)
+    r_mod = vk.curve.fr.modulus
+    rbits = r_mod.bit_length()
+
+    def trunc(c):
+        """Canonical-decomposition truncation of a MiMC output to
+        rbits-8 bits (mirrors backend _hash_to_field recursion mode)."""
+        pbits = api.field().bit_length()
+        bits = api.to_binary(c, pbits)
+        acc = 1
+        for i in range(len(bits) - 1, -1, -1):
+            if ((api.field() - 1) >> i) & 1:
+                acc = api.mul(acc, bits[i])
+            else:
+                api.assert_is_equal(api.mul(acc, bits[i]), 0)
+        return api.from_binary(bits[:rbits - 8])
+
+    # commitment wire values: MiMC hash-to-field of each commitment
+    # (requires the inner proof made with recursion_friendly=True)
+    hashed = []
+    if nb_cm:
+        from gnark_tpu.std.hash.mimc import MiMCGadget
+        for C in commitments:
+            h = MiMCGadget(api, "bw6_761_fr")
+            h.write(int.from_bytes(b"BSB22-Groth16", "big"))
+            h.write(C[0], C[1])
+            hashed.append(trunc(h.sum()))
+
+    # ksum = K[0] + sum extended[i] * K[i+1] + sum commitments
     nbits = vk.curve.fr.bits
-    ksum = g1.msm_const_bases(vk.g1_k[1:], publics, nbits)
+    ksum = g1.msm_const_bases(vk.g1_k[1:], list(publics) + hashed,
+                              nbits)
     k0 = vk.g1_k[0]
     if k0 is not host.INF:
         ksum = g1.add_distinct(ksum, k0)
+    for C in commitments:
+        ksum = g1.add_distinct(ksum, C)
 
     pairs = [
         (ar, bs),
@@ -77,6 +118,23 @@ def assert_proof(api, vk, proof_vars, publics):
         ((vk.g1_alpha[0], (-vk.g1_alpha[1]) % vk.curve.fp.modulus),
          vk.g2_beta),                      # constant pair: folds
     ]
+    if nb_cm:
+        # fold the Pedersen PoK equations e(-pok,g2)*e(C,sigma) == 1
+        # into the main product with an unpredictable rho challenge
+        # (random linear combination of verified-to-one equations)
+        from gnark_tpu.std.hash.mimc import MiMCGadget
+        rh = MiMCGadget(api, "bw6_761_fr")
+        rh.write(int.from_bytes(b"groth16-pok-fold", "big"))
+        for P in [ar, krs] + list(commitments) + list(poks):
+            rh.write(P[0], P[1])
+        rho = trunc(rh.sum())
+        rho_bits = api.to_binary(rho, rbits - 8)
+        for C, pok, sig in zip(commitments, poks,
+                               vk.commitment_g2_sigma):
+            rc = g1.scalar_mul_bits(C, rho_bits)
+            rpok = g1.scalar_mul_bits(pok, rho_bits)
+            pairs.append((g1.neg(rpok), tuple(vk.curve.g2)))
+            pairs.append((rc, sig))
     pc.assert_pairing_product_is_one(pairs)
 
 

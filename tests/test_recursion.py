@@ -135,3 +135,69 @@ def test_in_circuit_groth16_verify(inner_proof):
     w2 = dict(w)
     w2["ar_y"] = w2["ar_y"] + 1
     assert not is_solved(_Outer(inner_y=35, **w2), F_OUT)
+
+
+class _CommittedInner(Circuit):
+    x: Secret
+    y: Public
+
+    def define(self, api):
+        c = api.commit(self.x, api.mul(self.x, self.x))
+        api.assert_is_equal(api.is_zero(c), 0)
+        x3 = api.mul(self.x, self.x, self.x)
+        api.assert_is_equal(api.add(x3, self.x, 5), self.y)
+
+
+class _OuterCm(Circuit):
+    ar_x: Secret
+    ar_y: Secret
+    bs_x0: Secret
+    bs_x1: Secret
+    bs_y0: Secret
+    bs_y1: Secret
+    krs_x: Secret
+    krs_y: Secret
+    cm0_x: Secret
+    cm0_y: Secret
+    pok0_x: Secret
+    pok0_y: Secret
+    inner_y: Public
+
+    ivk = None
+
+    def define(self, api):
+        pv = {k: getattr(self, k) for k in
+              ("ar_x", "ar_y", "bs_x0", "bs_x1", "bs_y0", "bs_y1",
+               "krs_x", "krs_y")}
+        pv["commitments"] = [(self.cm0_x, self.cm0_y)]
+        pv["poks"] = [(self.pok0_x, self.pok0_y)]
+        assert_proof(api, type(self).ivk, pv, [self.inner_y])
+
+
+@pytest.mark.slow
+def test_in_circuit_groth16_commitment_circuit():
+    """Recursion over a BSB22 commitment circuit: the inner proof is
+    made recursion_friendly (MiMC hash-to-field), the outer circuit
+    recomputes the commitment wire value and rho-folds the Pedersen
+    PoK equations into the pairing product."""
+    ics = compile_circuit(_CommittedInner(), fields.BLS12_377_FR)
+    ipk, ivk = groth16.setup(ics, "bls12_377", rng=random.Random(61))
+    pub, sec = witness(_CommittedInner(x=3, y=35), ics)
+    proof = groth16.prove(ics, ipk, pub, sec, rng=random.Random(62),
+                          recursion_friendly=True)
+    assert groth16.verify(proof, ivk, pub, recursion_friendly=True)
+    assert not groth16.verify(proof, ivk, pub)   # cross-mode must fail
+
+    _OuterCm.ivk = ivk
+    w = proof_witness(proof)
+    assert "cm0_x" in w and "pok0_x" in w
+    good = _OuterCm(inner_y=35, **w)
+    assert is_solved(good, F_OUT)
+    # tampered commitment point
+    w2 = dict(w)
+    w2["cm0_y"] = w2["cm0_y"] + 1
+    assert not is_solved(_OuterCm(inner_y=35, **w2), F_OUT)
+    # swapped pok
+    w3 = dict(w)
+    w3["pok0_x"], w3["pok0_y"] = w["cm0_x"], w["cm0_y"]
+    assert not is_solved(_OuterCm(inner_y=35, **w3), F_OUT)
