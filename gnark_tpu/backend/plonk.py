@@ -488,92 +488,147 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     ts.bind("alpha", ts.point_bytes(c_z, p_mod))
     alpha = ts.challenge("alpha")
 
-    # ---- quotient on the 4N coset (8N when N < 6: deg H = 3N+5 must
-    # fit, mirroring newInstance's small-size edge case) ----
+    # ---- quotient numerator ----
+    # deg H = 3N+5 must fit: 4N coset normally, 8N when N < 6
+    # (mirroring newInstance's small-size edge case)
     N4 = 4 * N if N >= 6 else 8 * N
     ntt4 = _Ntt(curve.fr, N4)
     g = curve.fr.generator % q           # coset generator of domain1
-
-    # device-side numerator: every coset column stays a (N4, K) limb
-    # array in Montgomery form; the gate/ordering/local constraints are
-    # batched FF ops on device (the reference evaluates this with the
-    # ρ-pass loop in prove.go computeNumerator; here XLA fuses the
-    # whole elementwise chain after the 13 coset NTTs)
     ffr4 = ntt4.ff
-
-    def on_coset(coeffs):
-        c = list(coeffs) + [0] * (N4 - len(coeffs))
-        v = jnp.asarray(ffr4.encode([v % q for v in c]))
-        return ntt4.dom.fft(v, coset=True)
-
-    def dev_const(v):
-        one = ffr4.encode([v % q])
-        return jnp.broadcast_to(jnp.asarray(one), (N4,) + one.shape[1:])
-
-    lx = on_coset(l_b); rx = on_coset(r_b); ox = on_coset(o_b)
-    zx = on_coset(z_b)
-    zs_coeffs = [0] * len(z_b)
-    wp = 1
-    for i, c in enumerate(z_b):       # Z(wX): coeff_i * w^i
-        zs_coeffs[i] = c * wp % q
-        wp = wp * w % q
-    zsx = on_coset(zs_coeffs)
-    qlx = on_coset(pk.ql_coeffs); qrx = on_coset(pk.qr_coeffs)
-    qmx = on_coset(pk.qm_coeffs); qox = on_coset(pk.qo_coeffs)
-    qkx = on_coset(qkc_coeffs)
-    s1x = on_coset(pk.s1_coeffs); s2x = on_coset(pk.s2_coeffs)
-    s3x = on_coset(pk.s3_coeffs)
-    # fold the BSB22 gate terms sum_i qcp_i(x)*pi2_i(x) into qk's
-    # coset evaluations (gate = ql*l+qr*r+qm*l*r+qo*o+qk+sum qcp*pi2)
-    for qcp_c, pi2_c in zip(pk.qcp_coeffs, pi2_coeffs):
-        qkx = ffr4.add(qkx, ffr4.mul(on_coset(qcp_c), on_coset(pi2_c)))
-
     w4 = curve.fr.root_of_unity(N4)
-    # evaluation points x_i = g * w4^i ; ZH(x) has period N4/N
     period = N4 // N
-    gN = pow(g, N, q)
-    w4N = pow(w4, N, q)
-    zh_vals = [(gN * pow(w4N, i, q) - 1) % q for i in range(period)]
-    zh_inv4 = [pow(v, -1, q) for v in zh_vals]
     alpha2 = alpha * alpha % q
     Ninv = pow(N, -1, q)
-    xs = [0] * N4                      # host: one bigint mul per point
-    xi = g
-    for i in range(N4):
-        xs[i] = xi
-        xi = xi * w4 % q
-    xd = jnp.asarray(ffr4.encode(xs))
-    zh_d = jnp.asarray(ffr4.encode(
-        [zh_vals[i % period] for i in range(N4)]))
-    zhi_d = jnp.asarray(ffr4.encode(
-        [zh_inv4[i % period] for i in range(N4)]))
 
-    gamma_d = dev_const(gamma)
-    one_d = dev_const(1)
-    gate = ffr4.add(ffr4.mul(qlx, lx), ffr4.mul(qrx, rx))
-    gate = ffr4.add(gate, ffr4.mul(qmx, ffr4.mul(lx, rx)))
-    gate = ffr4.add(gate, ffr4.mul(qox, ox))
-    gate = ffr4.add(gate, qkx)
-    bx = ffr4.mul(dev_const(beta), xd)
-    idp = ffr4.add(ffr4.add(lx, bx), gamma_d)
-    idp = ffr4.mul(idp, ffr4.add(
-        ffr4.add(rx, ffr4.mul(dev_const(u), bx)), gamma_d))
-    idp = ffr4.mul(idp, ffr4.add(
-        ffr4.add(ox, ffr4.mul(dev_const(u * u % q), bx)), gamma_d))
-    beta_d = dev_const(beta)
-    sp = ffr4.add(ffr4.add(lx, ffr4.mul(beta_d, s1x)), gamma_d)
-    sp = ffr4.mul(sp, ffr4.add(
-        ffr4.add(rx, ffr4.mul(beta_d, s2x)), gamma_d))
-    sp = ffr4.mul(sp, ffr4.add(
-        ffr4.add(ox, ffr4.mul(beta_d, s3x)), gamma_d))
-    ordering = ffr4.sub(ffr4.mul(sp, zsx), ffr4.mul(idp, zx))
-    # L1(x) = ZH(x) / (N (x - 1))
-    xm1_inv = ffr4.batch_inv(ffr4.sub(xd, one_d))
-    l1 = ffr4.mul(ffr4.mul(zh_d, dev_const(Ninv)), xm1_inv)
-    local = ffr4.mul(l1, ffr4.sub(zx, one_d))
-    numd = ffr4.add(gate, ffr4.mul(dev_const(alpha), ordering))
-    numd = ffr4.add(numd, ffr4.mul(dev_const(alpha2), local))
-    numd = ffr4.mul(numd, zhi_d)
+    # Z(wX) coefficients
+    zs_coeffs = [0] * len(z_b)
+    wp = 1
+    for i, c in enumerate(z_b):
+        zs_coeffs[i] = c * wp % q
+        wp = wp * w % q
+
+    def _numerator(ff, cols, xd, zh_d, zhi_d, n_pts):
+        """The fused gate + ordering + L1 numerator, elementwise over
+        device columns of any length (shared by the one-shot 4N path
+        and the rho-pass N-sized chunks)."""
+        def dc(v):
+            one = ff.encode([v % q])
+            return jnp.broadcast_to(jnp.asarray(one),
+                                    (n_pts,) + one.shape[1:])
+        one_d = dc(1)
+        gamma_d = dc(gamma)
+        gate = ff.add(ff.mul(cols["ql"], cols["l"]),
+                      ff.mul(cols["qr"], cols["r"]))
+        gate = ff.add(gate, ff.mul(cols["qm"],
+                                   ff.mul(cols["l"], cols["r"])))
+        gate = ff.add(gate, ff.mul(cols["qo"], cols["o"]))
+        gate = ff.add(gate, cols["qk"])
+        bx = ff.mul(dc(beta), xd)
+        idp = ff.add(ff.add(cols["l"], bx), gamma_d)
+        idp = ff.mul(idp, ff.add(
+            ff.add(cols["r"], ff.mul(dc(u), bx)), gamma_d))
+        idp = ff.mul(idp, ff.add(
+            ff.add(cols["o"], ff.mul(dc(u * u % q), bx)), gamma_d))
+        beta_d = dc(beta)
+        sp = ff.add(ff.add(cols["l"], ff.mul(beta_d, cols["s1"])),
+                    gamma_d)
+        sp = ff.mul(sp, ff.add(
+            ff.add(cols["r"], ff.mul(beta_d, cols["s2"])), gamma_d))
+        sp = ff.mul(sp, ff.add(
+            ff.add(cols["o"], ff.mul(beta_d, cols["s3"])), gamma_d))
+        ordering = ff.sub(ff.mul(sp, cols["zs"]),
+                          ff.mul(idp, cols["z"]))
+        # L1(x) = ZH(x) / (N (x - 1))
+        xm1_inv = ff.batch_inv(ff.sub(xd, one_d))
+        l1 = ff.mul(ff.mul(zh_d, dc(Ninv)), xm1_inv)
+        local = ff.mul(l1, ff.sub(cols["z"], one_d))
+        numd = ff.add(gate, ff.mul(dc(alpha), ordering))
+        numd = ff.add(numd, ff.mul(dc(alpha2), local))
+        return ff.mul(numd, zhi_d)
+
+    col_coeffs = dict(l=l_b, r=r_b, o=o_b, z=z_b, zs=zs_coeffs,
+                      ql=pk.ql_coeffs, qr=pk.qr_coeffs,
+                      qm=pk.qm_coeffs, qo=pk.qo_coeffs,
+                      s1=pk.s1_coeffs, s2=pk.s2_coeffs,
+                      s3=pk.s3_coeffs)
+
+    import os as _os
+    rho_log = int(_os.environ.get("GNARK_TPU_PLONK_RHO_LOG", "14"))
+    use_rho = N >= (1 << rho_log) and period > 1
+
+    if not use_rho:
+        # one-shot: every column materialized on the full 4N coset
+        # (XLA fuses the elementwise chain after the coset NTTs)
+        def on_coset(coeffs):
+            c = list(coeffs) + [0] * (N4 - len(coeffs))
+            v = jnp.asarray(ffr4.encode([v % q for v in c]))
+            return ntt4.dom.fft(v, coset=True)
+
+        cols = {k: on_coset(v) for k, v in col_coeffs.items()}
+        qkx = on_coset(qkc_coeffs)
+        for qcp_c, pi2_c in zip(pk.qcp_coeffs, pi2_coeffs):
+            qkx = ffr4.add(qkx, ffr4.mul(on_coset(qcp_c),
+                                         on_coset(pi2_c)))
+        cols["qk"] = qkx
+        gN = pow(g, N, q)
+        w4N = pow(w4, N, q)
+        zh_vals = [(gN * pow(w4N, i, q) - 1) % q for i in range(period)]
+        zh_inv4 = [pow(v, -1, q) for v in zh_vals]
+        xs = [0] * N4
+        xi = g
+        for i in range(N4):
+            xs[i] = xi
+            xi = xi * w4 % q
+        xd = jnp.asarray(ffr4.encode(xs))
+        zh_d = jnp.asarray(ffr4.encode(
+            [zh_vals[i % period] for i in range(N4)]))
+        zhi_d = jnp.asarray(ffr4.encode(
+            [zh_inv4[i % period] for i in range(N4)]))
+        numd = _numerator(ffr4, cols, xd, zh_d, zhi_d, N4)
+    else:
+        # rho-pass (reference prove.go:936-1020 computeNumerator): the
+        # numerator is evaluated coset-shift by coset-shift on N-sized
+        # blocks — peak memory ~1 column set of N instead of 4N
+        dom1 = _Ntt(curve.fr, N)
+        wpows = [1] * N
+        for i in range(1, N):
+            wpows[i] = wpows[i - 1] * w % q
+        chunks = np.zeros((period, N, ffr4.n), dtype=np.uint32)
+        for sshift in range(period):
+            shift = g * pow(w4, sshift, q) % q
+            cN = pow(shift, N, q)
+            spows = [1] * N
+            for i in range(1, N):
+                spows[i] = spows[i - 1] * shift % q
+
+            def eval_shift(coeffs):
+                folded = [0] * N
+                cpow = 1
+                for blk in range(0, len(coeffs), N):
+                    for i, c in enumerate(coeffs[blk:blk + N]):
+                        folded[i] = (folded[i] + c * cpow) % q
+                    cpow = cpow * cN % q
+                scaled = [folded[i] * spows[i] % q for i in range(N)]
+                v = jnp.asarray(dom1.ff.encode(scaled))
+                return dom1.dom.fft(v)
+
+            cols = {k: eval_shift(v) for k, v in col_coeffs.items()}
+            qkx = eval_shift(qkc_coeffs)
+            for qcp_c, pi2_c in zip(pk.qcp_coeffs, pi2_coeffs):
+                qkx = dom1.ff.add(qkx, dom1.ff.mul(
+                    eval_shift(qcp_c), eval_shift(pi2_c)))
+            cols["qk"] = qkx
+            xs = [shift * wpows[j] % q for j in range(N)]
+            xd = jnp.asarray(dom1.ff.encode(xs))
+            zh_c = (cN - 1) % q
+            zhi_c = pow(zh_c, -1, q)
+            zh_d = jnp.asarray(dom1.ff.encode([zh_c] * N))
+            zhi_d = jnp.asarray(dom1.ff.encode([zhi_c] * N))
+            chunks[sshift] = np.asarray(
+                _numerator(dom1.ff, cols, xd, zh_d, zhi_d, N))
+        # interleave: global point i = j*period + s -> chunk s, pos j
+        inter = np.transpose(chunks, (1, 0, 2)).reshape(N4, ffr4.n)
+        numd = jnp.asarray(inter)
 
     out = ffr4.decode(np.asarray(ntt4.dom.ifft(numd, coset=True)))
     h_coeffs = [int(v) for v in out]

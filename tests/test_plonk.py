@@ -149,3 +149,22 @@ def test_plonk_multi_commitments():
     assert len(proof.bsb22) == 2 and len(proof.claimed) == 8
     assert plonk.verify(proof, vk, pub)
     assert not plonk.verify(proof, vk, [8])
+
+
+@pytest.mark.slow
+def test_plonk_rho_pass_matches(monkeypatch):
+    """rho-pass quotient (memory mode) == one-shot 4N proof,
+    bit-identical with the same rng (reference prove.go:936-1020)."""
+    import random as _r
+    monkeypatch.setenv("GNARK_TPU_PLONK_RHO_LOG", "1")
+    cs = compile_circuit(Cubic(), fields.BN254_FR, builder_cls=SCSBuilder)
+    srs = kzg.setup_srs("bn254", 64, rng=_r.Random(3))
+    pk, vk = plonk.setup(cs, srs)
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    p_rho = plonk.prove(cs, pk, pub, sec, rng=_r.Random(4))
+    monkeypatch.setenv("GNARK_TPU_PLONK_RHO_LOG", "30")
+    p_one = plonk.prove(cs, pk, pub, sec, rng=_r.Random(4))
+    assert p_rho.lro == p_one.lro
+    assert p_rho.h == p_one.h
+    assert p_rho.claimed == p_one.claimed
+    assert plonk.verify(p_rho, vk, pub)
