@@ -1,0 +1,204 @@
+"""Mini-rollup: a batch of EdDSA-signed transfers over a Merkle account
+tree, proven with Groth16 (the reference's flagship example,
+examples/rollup: signature check + balance check + two Merkle updates
+per transfer, root chained across the batch).
+
+Run: python examples/rollup.py
+"""
+
+import random
+import sys
+
+sys.path.insert(0, ".")
+
+from gnark_tpu import fields
+from gnark_tpu.backend import groth16
+from gnark_tpu.frontend import Circuit, Public, Secret, compile_circuit, \
+    witness
+from gnark_tpu.std.hash.mimc import mimc_hash
+from gnark_tpu.std.signature import eddsa
+
+DEPTH = 2                      # 4 accounts
+NB_TX = 1
+Q = fields.BN254_FR.modulus
+
+
+# -- host-side state ----------------------------------------------------------
+
+class Account:
+    def __init__(self, seed: bytes, balance: int):
+        self.key, self.pub = eddsa.keygen(seed)
+        self.balance = balance
+        self.nonce = 0
+
+    def leaf(self) -> int:
+        return mimc_hash([self.pub[0], self.pub[1],
+                          self.balance, self.nonce])
+
+
+def tree_root(leaves):
+    level = list(leaves)
+    while len(level) > 1:
+        level = [mimc_hash([level[i], level[i + 1]])
+                 for i in range(0, len(level), 2)]
+    return level[0]
+
+
+def tree_path(leaves, idx):
+    """(siblings, dirs): dirs[d] = 1 if the node is the RIGHT child."""
+    sibs, dirs = [], []
+    level = list(leaves)
+    i = idx
+    while len(level) > 1:
+        if i % 2 == 0:
+            sibs.append(level[i + 1])
+            dirs.append(0)
+        else:
+            sibs.append(level[i - 1])
+            dirs.append(1)
+        level = [mimc_hash([level[j], level[j + 1]])
+                 for j in range(0, len(level), 2)]
+        i //= 2
+    return sibs, dirs
+
+
+# -- the circuit ---------------------------------------------------------------
+
+def _root_from(api, mimc_pair, leaf, sibs, dirs):
+    h = leaf
+    for s, d in zip(sibs, dirs):
+        api.assert_is_boolean(d)
+        left = api.select(d, s, h)
+        right = api.select(d, h, s)
+        h = mimc_pair(left, right)
+    return h
+
+
+class Rollup(Circuit):
+    old_root: Public
+    new_root: Public
+    # per-tx witness data (flattened)
+    tx: list[Secret]
+
+    PER_TX = (4            # sender pub(2), balance, nonce
+              + 4          # receiver pub(2), balance, nonce
+              + 1          # amount
+              + 3          # signature: R.x, R.y, S
+              + 2 * DEPTH  # sender path + dirs
+              + 2 * DEPTH)  # receiver path + dirs
+
+    def __init__(self, **kw):
+        self.tx = [None] * (NB_TX * self.PER_TX)
+        super().__init__(**kw)
+
+    def define(self, api):
+        from gnark_tpu.std.hash.mimc import MiMCGadget
+
+        def mimc(*vals):
+            m = MiMCGadget(api)
+            m.write(*vals)
+            return m.sum()
+
+        root = self.old_root
+        off = 0
+        for _ in range(NB_TX):
+            t = self.tx[off:off + self.PER_TX]
+            off += self.PER_TX
+            (spx, spy, sbal, snon, rpx, rpy, rbal, rnon,
+             amount) = t[:9]
+            sig_rx, sig_ry, sig_s = t[9:12]
+            spath = t[12:12 + DEPTH]
+            sdirs = t[12 + DEPTH:12 + 2 * DEPTH]
+            rpath = t[12 + 2 * DEPTH:12 + 3 * DEPTH]
+            rdirs = t[12 + 3 * DEPTH:12 + 4 * DEPTH]
+
+            # 1. signature over the transfer (sender key; msg binds
+            #    receiver, amount and the sender nonce)
+            msg = mimc(rpx, rpy, amount, snon)
+            eddsa.verify_gadget(api, (spx, spy), msg,
+                                (sig_rx, sig_ry), sig_s)
+
+            # 2. sender leaf is in the current root; enough balance
+            sleaf = mimc(spx, spy, sbal, snon)
+            got = _root_from(api, lambda a, b: mimc(a, b),
+                             sleaf, spath, sdirs)
+            api.assert_is_equal(got, root)
+            api.assert_is_less_or_equal(amount, sbal)
+
+            # 3. update sender: balance -= amount, nonce += 1
+            sleaf2 = mimc(spx, spy, api.sub(sbal, amount),
+                          api.add(snon, 1))
+            root = _root_from(api, lambda a, b: mimc(a, b),
+                              sleaf2, spath, sdirs)
+
+            # 4. receiver leaf in the UPDATED root; credit it
+            rleaf = mimc(rpx, rpy, rbal, rnon)
+            got2 = _root_from(api, lambda a, b: mimc(a, b),
+                              rleaf, rpath, rdirs)
+            api.assert_is_equal(got2, root)
+            rleaf2 = mimc(rpx, rpy, api.add(rbal, amount), rnon)
+            root = _root_from(api, lambda a, b: mimc(a, b),
+                              rleaf2, rpath, rdirs)
+
+        api.assert_is_equal(root, self.new_root)
+
+
+# -- host batch construction ---------------------------------------------------
+
+def build_batch(accounts, transfers):
+    """transfers: list of (from_idx, to_idx, amount). Returns
+    (old_root, new_root, flat tx witness)."""
+    flat = []
+    leaves = [a.leaf() for a in accounts]
+    old_root = tree_root(leaves)
+    for (fi, ti, amount) in transfers:
+        snd, rcv = accounts[fi], accounts[ti]
+        msg = mimc_hash([rcv.pub[0], rcv.pub[1], amount, snd.nonce])
+        sig_r, sig_s = eddsa.sign(snd.key, snd.pub, msg)
+
+        spath, sdirs = tree_path(leaves, fi)
+        flat += [snd.pub[0], snd.pub[1], snd.balance, snd.nonce,
+                 rcv.pub[0], rcv.pub[1], rcv.balance, rcv.nonce,
+                 amount, sig_r[0], sig_r[1], sig_s]
+        # apply sender update
+        snd.balance -= amount
+        snd.nonce += 1
+        leaves[fi] = snd.leaf()
+        rpath, rdirs = tree_path(leaves, ti)
+        rcv.balance += amount
+        leaves[ti] = rcv.leaf()
+        flat += spath + sdirs + rpath + rdirs
+    return old_root, tree_root(leaves), flat
+
+
+def main(prove: bool = False):
+    rng = random.Random(7)
+    accounts = [Account(bytes([i] * 8), 100 + 10 * i) for i in range(4)]
+    old_root, new_root, flat = build_batch(accounts, [(1, 3, 30)])
+
+    inst = Rollup(old_root=old_root, new_root=new_root)
+    inst.tx = flat
+
+    cs = compile_circuit(Rollup(), fields.BN254_FR)
+    print(f"rollup({NB_TX} txs, depth {DEPTH}): "
+          f"{cs.nb_constraints} constraints", flush=True)
+
+    if not prove:
+        # default: engine check (a full Groth16 prove at this size is
+        # for real hardware — rerun with --prove)
+        from gnark_tpu.test_engine import is_solved
+        ok = is_solved(inst, fields.BN254_FR)
+        print("verified:", ok)
+        assert ok
+        return
+
+    pk, vk = groth16.setup(cs, "bn254", rng=rng)
+    pub, sec = witness(inst, cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=rng)
+    ok = groth16.verify(proof, vk, pub)
+    print("verified:", ok)
+    assert ok
+
+
+if __name__ == "__main__":
+    main(prove="--prove" in sys.argv)
