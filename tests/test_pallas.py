@@ -1,4 +1,4 @@
-"""Pallas kernel tests (interpret mode on CPU) + sorted MSM.
+"""Pallas kernel tests (interpret mode on CPU).
 
 GNARK_TPU_PALLAS is env-forced per test via subprocess-free config
 reset (config caches are lru_cache'd — clear them around the flag)."""
@@ -16,7 +16,6 @@ from gnark_tpu.ec.weierstrass import (
     affine_to_jacobian, jac_to_affine,
 )
 from gnark_tpu.ff import get_ff
-from gnark_tpu.msm.sorted import msm_sorted
 
 RNG = random.Random(17)
 
@@ -96,15 +95,3 @@ def test_pallas_ec_kernels_interpret(pallas_on):
             assert (int(xs[i]), int(ys[i])) == w
 
 
-@pytest.mark.slow
-def test_sorted_msm_jnp(pallas_off):
-    curve, ffp, fh, pts, ks, points, sc = _setup(30)
-    R = msm_sorted(ffp, points, sc, curve.fr.bits)
-    _check(curve, ffp, fh, pts, ks, R)
-
-
-def test_sorted_msm_all_inf(pallas_off):
-    curve, ffp, fh, pts, ks, points, sc = _setup(8)
-    inf = jnp.ones((8,), bool)
-    R = msm_sorted(ffp, (points[0], points[1], inf), sc, curve.fr.bits)
-    _check(curve, ffp, fh, [host.INF] * 8, ks, R)
