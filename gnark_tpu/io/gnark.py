@@ -337,3 +337,92 @@ def write_groth16_vk(vk) -> bytes:
             else (entry, entry)
         out += _write_g2(c, g) + _write_g2(c, srs)
     return out
+
+
+# -- proofs ------------------------------------------------------------------
+
+def write_groth16_proof(proof, curve_name: str) -> bytes:
+    """Serialize our backend Groth16 Proof in gnark's binary layout
+    (backend/groth16/bn254/marshal.go:33-58: Ar | Bs | Krs |
+    []Commitments | CommitmentPok). gnark stores ONE folded PoK; we
+    keep per-commitment PoKs, so only 0/1-commitment proofs are
+    interoperable — multi-commitment proofs raise."""
+    c = CURVES[curve_name]
+    if len(proof.poks) > 1:
+        raise NotImplementedError(
+            "gnark folds multiple PoKs; fold before export")
+    out = _write_g1(c, proof.ar)
+    out += _write_g2(c, proof.bs)
+    out += _write_g1(c, proof.krs)
+    out += len(proof.commitments).to_bytes(4, "big")
+    for P in proof.commitments:
+        out += _write_g1(c, P)
+    pok = proof.poks[0] if proof.poks else INF
+    out += _write_g1(c, pok)
+    return out
+
+
+def read_groth16_proof(curve_name: str, data: bytes):
+    """-> backend.groth16.Proof (validated points)."""
+    from gnark_tpu.backend.groth16 import Proof
+    r = GnarkReader(curve_name, data)
+    ar = r.g1()
+    bs = r.g2()
+    krs = r.g1()
+    cms = r.g1_slice()
+    pok = r.g1()
+    if r.i != len(data):
+        raise ValueError(f"{len(data) - r.i} trailing bytes")
+    pts1 = [p for p in [ar, krs, pok] + cms if p is not INF]
+    if not validate_points(CURVES[curve_name], g1_points=pts1,
+                           g2_points=[bs]):
+        raise ValueError("gnark proof: point validation failed")
+    return Proof(ar=ar, krs=krs, bs=bs, commitments=cms,
+                 poks=[pok] if cms else [])
+
+
+def write_plonk_proof(proof, curve_name: str) -> bytes:
+    """Serialize our PlonkProof in gnark's layout
+    (backend/plonk/bn254/marshal.go:28-50: LRO | Z | H[3] |
+    BatchedProof.H | []ClaimedValues | ZShift.H | ZShift.Claimed |
+    []Bsb22Commitments)."""
+    c = CURVES[curve_name]
+    nb = -(-c.fr.modulus.bit_length() // 8)
+    out = b"".join(_write_g1(c, P) for P in proof.lro)
+    out += _write_g1(c, proof.z)
+    out += b"".join(_write_g1(c, P) for P in proof.h)
+    out += _write_g1(c, proof.batched_h)
+    out += len(proof.claimed).to_bytes(4, "big")
+    for v in proof.claimed:
+        out += int(v).to_bytes(nb, "big")
+    out += _write_g1(c, proof.z_shift_h)
+    out += int(proof.zu).to_bytes(nb, "big")
+    out += len(proof.bsb22).to_bytes(4, "big")
+    for P in proof.bsb22:
+        out += _write_g1(c, P)
+    return out
+
+
+def read_plonk_proof(curve_name: str, data: bytes):
+    """-> backend.plonk.PlonkProof (validated points)."""
+    from gnark_tpu.backend.plonk import PlonkProof
+    r = GnarkReader(curve_name, data)
+    lro = [r.g1() for _ in range(3)]
+    z = r.g1()
+    h = [r.g1() for _ in range(3)]
+    batched_h = r.g1()
+    n = r.u32()
+    claimed = [r.fr() for _ in range(n)]
+    z_shift_h = r.g1()
+    zu = r.fr()
+    nb2 = r.u32()
+    bsb22 = [r.g1() for _ in range(nb2)]
+    if r.i != len(data):
+        raise ValueError(f"{len(data) - r.i} trailing bytes")
+    pts = [p for p in lro + [z] + h + [batched_h, z_shift_h] + bsb22
+           if p is not INF]
+    if not validate_points(CURVES[curve_name], g1_points=pts):
+        raise ValueError("gnark plonk proof: point validation failed")
+    return PlonkProof(lro=lro, z=z, h=h, batched_h=batched_h,
+                      claimed=claimed, z_shift_h=z_shift_h, zu=zu,
+                      bsb22=bsb22)

@@ -127,3 +127,68 @@ def test_groth16_vk_roundtrip_ours():
     assert back.g2_gamma == tuple(vk.g2_gamma)
     assert back.g2_delta == tuple(vk.g2_delta)
     assert [tuple(P) for P in back.g1_k] == [tuple(P) for P in vk.g1_k]
+
+
+def test_groth16_proof_roundtrip_gnark_format():
+    import random
+    from gnark_tpu import fields
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.frontend import Circuit, Public, Secret, \
+        compile_circuit, witness
+
+    class Cubic(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            x3 = api.mul(self.x, self.x, self.x)
+            api.assert_is_equal(api.add(x3, self.x, 5), self.y)
+
+    cs = compile_circuit(Cubic(), fields.BN254_FR)
+    pk, vk = groth16.setup(cs, "bn254", rng=random.Random(13))
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=random.Random(14))
+    blob = gio.write_groth16_proof(proof, "bn254")
+    back = gio.read_groth16_proof("bn254", blob)
+    assert back.ar == tuple(proof.ar)
+    assert back.bs == tuple(proof.bs)
+    assert back.krs == tuple(proof.krs)
+    assert groth16.verify(back, vk, pub)
+    # corrupt a byte -> decompression or verification fails
+    bad = bytearray(blob)
+    bad[3] ^= 1
+    import pytest as _p
+    try:
+        p2 = gio.read_groth16_proof("bn254", bytes(bad))
+        assert not groth16.verify(p2, vk, pub)
+    except ValueError:
+        pass
+
+
+def test_plonk_proof_roundtrip_gnark_format():
+    import random
+    from gnark_tpu import fields
+    from gnark_tpu.backend import kzg, plonk
+    from gnark_tpu.frontend import Circuit, Public, Secret, \
+        compile_circuit, witness
+    from gnark_tpu.frontend.scs import SCSBuilder
+
+    class Cubic(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            x3 = api.mul(self.x, self.x, self.x)
+            api.assert_is_equal(api.add(x3, self.x, 5), self.y)
+
+    cs = compile_circuit(Cubic(), fields.BN254_FR,
+                         builder_cls=SCSBuilder)
+    srs = kzg.setup_srs("bn254", 64, rng=random.Random(15))
+    pk, vk = plonk.setup(cs, srs)
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(16))
+    blob = gio.write_plonk_proof(proof, "bn254")
+    back = gio.read_plonk_proof("bn254", blob)
+    assert back.claimed == proof.claimed
+    assert back.zu == proof.zu
+    assert plonk.verify(back, vk, pub)
