@@ -20,9 +20,11 @@ from gnark_tpu.frontend.scs import SCSBuilder
 SNIPPETS: dict = {}
 
 
-def snippet(name):
+def snippet(name, only_fields=None):
+    """Register a snippet; only_fields restricts which stat fields it
+    compiles under (gadgets with field-specific parameters)."""
     def deco(make):
-        SNIPPETS[name] = make
+        SNIPPETS[name] = (make, only_fields)
         return make
     return deco
 
@@ -139,6 +141,104 @@ def _merkle():
     return C()
 
 
+@snippet("hash/poseidon2", only_fields=("bn254_fr",))
+def _poseidon2():
+    from gnark_tpu.std.hash.poseidon2 import Poseidon2Gadget
+
+    class C(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            g = Poseidon2Gadget(api)
+            api.assert_is_equal(g.hash([self.x, 1]), self.y)
+    return C()
+
+
+@snippet("std/lookup8", only_fields=("bn254_fr",))
+def _lookup():
+    from gnark_tpu.std.lookup import Table
+
+    class C(Circuit):
+        idx: Secret
+        out: Public
+
+        def define(self, api):
+            t = Table(api)
+            for i in range(8):
+                t.insert(i * i)
+            api.assert_is_equal(t.lookup(self.idx)[0], self.out)
+    return C()
+
+
+@snippet("std/rangecheck64_table", only_fields=("bn254_fr",))
+def _rc64():
+    from gnark_tpu.std import rangecheck
+
+    class C(Circuit):
+        x: Secret
+
+        def define(self, api):
+            rangecheck.checker(api).check(self.x, 64)
+    return C()
+
+
+@snippet("emulated/secp256k1_mul", only_fields=("bn254_fr",))
+def _emul():
+    from gnark_tpu.std.math import emulated as emu
+
+    class C(Circuit):
+        a: list[Secret]
+        b: list[Secret]
+
+        def __init__(self, **kw):
+            self.a = [None] * emu.K
+            self.b = [None] * emu.K
+            super().__init__(**kw)
+
+        def define(self, api):
+            f = emu.EmulatedField(api, emu.SECP256K1_FP)
+            f.mul(f.from_limb_vars(self.a), f.from_limb_vars(self.b))
+    return C()
+
+
+@snippet("std/lzss16", only_fields=("bn254_fr",))
+def _lzss():
+    from gnark_tpu.std.compress import lzss
+
+    class C(Circuit):
+        c: list[Secret]
+        clen: Public
+
+        def __init__(self, **kw):
+            self.c = [None] * 16
+            super().__init__(**kw)
+
+        def define(self, api):
+            lzss.decompress_circuit(api, self.c, self.clen, 16)
+    return C()
+
+
+@snippet("gkr/pow7x8", only_fields=("bn254_fr",))
+def _gkr():
+    from gnark_tpu.std import gkrapi
+
+    class C(Circuit):
+        xs: list[Secret]
+
+        def __init__(self, **kw):
+            self.xs = [None] * 8
+            super().__init__(**kw)
+
+        def define(self, api):
+            g = gkrapi.GkrApi(api, 8)
+            x = g.import_input(self.xs)
+            w = g.named_gate("pow7", x)
+            g.solve(w)
+            g.verify()
+    return C()
+
+
 BUILDERS = {"r1cs": R1CSBuilder, "scs": SCSBuilder}
 STAT_FIELDS = {"bn254_fr": fields.BN254_FR, "tinyfield": fields.TINYFIELD}
 
@@ -146,10 +246,12 @@ STAT_FIELDS = {"bn254_fr": fields.BN254_FR, "tinyfield": fields.TINYFIELD}
 def collect() -> list[tuple]:
     rows = []
     for name in sorted(SNIPPETS):
+        make, only = SNIPPETS[name]
         for fname, field in STAT_FIELDS.items():
+            if only and fname not in only:
+                continue
             for bname, bcls in BUILDERS.items():
-                cs = compile_circuit(SNIPPETS[name](), field,
-                                     builder_cls=bcls)
+                cs = compile_circuit(make(), field, builder_cls=bcls)
                 rows.append((name, fname, bname, cs.nb_constraints,
                              cs.nb_wires))
     return rows
