@@ -22,7 +22,7 @@ def test_stats_regression():
 
 def test_profiler():
     with profile.start() as p:
-        compile_circuit(stats.SNIPPETS["hash/mimc"](), fields.BN254_FR)
+        compile_circuit(stats.SNIPPETS["hash/mimc"][0](), fields.BN254_FR)
     assert p.total > 300            # 110 rounds x 3 muls
     report = p.report()
     assert "total constraints" in report
