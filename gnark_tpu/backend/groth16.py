@@ -489,3 +489,30 @@ def verify(proof: Proof, vk: VerifyingKey, public_values,
         (ksum, vk.g2_gamma_neg),
     ])
     return pairing.ext.eq(res, vk.e_alpha_beta)
+
+
+def dummy_setup(cs: ConstraintSystem, curve_name: str):
+    """Fast fake ProvingKey for benchmarking the prover without a real
+    ceremony (reference groth16.DummySetup / DummyInfinitySetup,
+    backend/groth16/groth16.go:217-240): every column point is a fixed
+    small multiple of the generator, so Setup cost is O(1) host work +
+    one upload instead of the giant batch scalar-mul. Proofs made with
+    it do NOT verify."""
+    curve = curves_mod.CURVES[curve_name]
+    assert curve.fr.modulus == cs.q
+    nb_wires = cs.nb_wires
+    nb_pub = cs.nb_public
+    N = _next_pow2(max(cs.nb_constraints, 1))
+    ffp = get_ff(curve.fp.name)
+    ff2 = _g2_field(curve)
+    g = curve.g1
+    g2pt = curve.g2
+    enc = _encode_affine_host(ffp, [g] * nb_wires)
+    enc2 = _encode_affine_host(ff2, [g2pt] * nb_wires)
+    encz = _encode_affine_host(ffp, [g] * N)
+    enck = _encode_affine_host(ffp, [g] * max(nb_wires - nb_pub, 1))
+    return ProvingKey(
+        curve=curve, domain_n=N,
+        g1_a=enc, g1_b=enc, g1_z=encz, g1_k=enck, g2_b=enc2,
+        g1_alpha=g, g1_beta=g, g1_delta=g,
+        g2_beta=g2pt, g2_delta=g2pt, commitment_keys=[])

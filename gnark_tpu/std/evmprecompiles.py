@@ -277,3 +277,34 @@ def kzg_point_eval(api, commitment, proof_w, z_limbs, y_limbs,
     g2_tau_v = G2Point381(pr.f2.from_const(tuple(g2_tau[0])),
                           pr.f2.from_const(tuple(g2_tau[1])))
     pr.pairing_check([(a, g2_gen), (neg_w, g2_tau_v)])
+
+
+def bls_g2msm(api, points, scalar_bits_list):
+    """0x0e: BLS12-381 G2 MSM (offset-by-first-point ladders on the
+    twist; scalars as LSB-first bit lists)."""
+    from gnark_tpu.std.algebra.pairing_bls12381 import PairingBLS12381
+    pr = PairingBLS12381(api)
+    acc = None
+    for Q, bits in zip(points, scalar_bits_list):
+        pr.assert_on_g2_curve(Q)
+        # double-and-add with offset-by-Q (incomplete adds; same
+        # caveats as the G1 ladders)
+        R = Q
+        cur, _ = pr.g2_double(Q)
+        n = len(bits)
+        for i, b in enumerate(bits[1:], start=1):
+            added, _ = pr.g2_add(R, cur)
+            R = type(Q)(pr.f2.select(b, added.x, R.x),
+                        pr.f2.select(b, added.y, R.y))
+            if i + 1 < n:
+                cur, _ = pr.g2_double(cur)
+        negQ = type(Q)(Q.x, pr.f2.neg(Q.y))
+        sub1, _ = pr.g2_add(R, negQ)
+        R = type(Q)(pr.f2.select(bits[0], R.x, sub1.x),
+                    pr.f2.select(bits[0], R.y, sub1.y))
+        if acc is None:
+            acc = R
+        else:
+            s, _ = pr.g2_add(acc, R)
+            acc = s
+    return acc

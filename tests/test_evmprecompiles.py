@@ -392,3 +392,39 @@ def test_kzg_point_eval_precompile():
     bad.zl = good.zl
     bad.yl = limbs381_fr((proof.claimed_value + 1) % q)
     assert not is_solved(bad, F)
+
+
+@pytest.mark.slow
+def test_bls_g2msm_precompile():
+    f2h = BLS.host_g2_field
+    Q = BLS.g2
+    k1, k2 = 5, 9
+    R = host.ec_add(f2h, host.ec_mul(f2h, Q, k1),
+                    host.ec_mul(f2h, host.ec_dbl(f2h, Q), k2))
+    k = emu.BLS12_381_FP_EMU.k
+    Q2h = host.ec_dbl(f2h, Q)
+
+    class C(Circuit):
+        rx0: list[Public]
+
+        def __init__(self, **kw):
+            self.rx0 = [None] * k
+            super().__init__(**kw)
+
+        def define(self, api):
+            from gnark_tpu.std.algebra.pairing_bls12381 import G2Point381
+            f = emu.EmulatedField(api, emu.BLS12_381_FP_EMU)
+
+            def mkq(P):
+                return G2Point381(
+                    (f.from_const(P[0][0]), f.from_const(P[0][1])),
+                    (f.from_const(P[1][0]), f.from_const(P[1][1])))
+
+            bits1 = [(k1 >> i) & 1 for i in range(4)]
+            bits2 = [(k2 >> i) & 1 for i in range(4)]
+            out = evm.bls_g2msm(api, [mkq(Q), mkq(Q2h)], [bits1, bits2])
+            f.assert_is_equal(out.x[0], f.from_limb_vars(self.rx0))
+
+    good = C()
+    good.rx0 = limbs381(R[0][0])
+    assert is_solved(good, F)
