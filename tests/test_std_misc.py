@@ -115,3 +115,23 @@ def test_polynomial_gadgets():
                 poly.interpolate_on_range(api, evs, xx), want_interp)
 
     assert is_solved(C(ok=1), F)
+
+
+def test_hash_to_field_rfc9380():
+    from gnark_tpu.utils.hash_to_field import (expand_message_xmd,
+                                               hash_to_field)
+    # RFC 9380 K.1 (expand_message_xmd, SHA-256) first vector
+    got = expand_message_xmd(
+        b"", b"QUUX-V01-CS02-with-expander-SHA256-128", 0x20)
+    assert got.hex() == ("68a985b87eb6b46952128911f2a4412b"
+                         "bc302a9d759667f87f7a21d803f07235")
+    # structural: determinism, domain separation, reduction
+    p = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+    a = hash_to_field(b"msg", b"dst1", 2, p)
+    b = hash_to_field(b"msg", b"dst2", 2, p)
+    assert a == hash_to_field(b"msg", b"dst1", 2, p)
+    assert a != b
+    assert all(0 <= v < p for v in a + b)
+    # 48-byte reduction really spreads beyond 2^254
+    big = hash_to_field(b"x", b"d", 64, p)
+    assert len(set(big)) == 64
