@@ -230,3 +230,43 @@ def load_plonk_proof(data: bytes):
         claimed=[int(v, 16) for v in doc["claimed"]],
         z_shift_h=_pt_in(doc["z_shift_h"]), zu=int(doc["zu"], 16),
         bsb22=[_pt_in(p) for p in doc.get("bsb22", [])])
+
+
+def witness_to_json(assigned, cs) -> str:
+    """Schema-named JSON witness (reference backend/witness JSON via
+    schema): {"public": {path: "0x..", ...}, "secret": {...}}."""
+    import json
+    from gnark_tpu.frontend.circuit import _walk
+    q = cs.q
+    out = {"public": {}, "secret": {}}
+
+    def collect(section):
+        def visit(path, get, set_):
+            v = get()
+            if v is None or not isinstance(v, int):
+                raise ValueError(f"{path}: missing assignment")
+            out[section][path] = hex(int(v) % q)
+        return visit
+
+    _walk(assigned, "public", collect("public"))
+    _walk(assigned, "secret", collect("secret"))
+    return json.dumps(out, indent=1, sort_keys=True)
+
+
+def witness_from_json(circuit, data: str):
+    """Fill an (unassigned) circuit instance from schema-named JSON;
+    returns the instance."""
+    import json
+    from gnark_tpu.frontend.circuit import _walk
+    vals = json.loads(data)
+
+    def fill(section):
+        def visit(path, get, set_):
+            if path not in vals[section]:
+                raise ValueError(f"{path}: missing in JSON witness")
+            set_(int(vals[section][path], 0))
+        return visit
+
+    _walk(circuit, "public", fill("public"))
+    _walk(circuit, "secret", fill("secret"))
+    return circuit

@@ -36,3 +36,34 @@ def test_cs_roundtrip_scs():
     assert io.dump_cs(cs2) == data
     pub, sec = witness(Cubic(x=3, y=35), cs2)
     solve(cs2, pub, sec)
+
+
+def test_witness_json_schema_roundtrip():
+    import json
+    from gnark_tpu import fields
+    from gnark_tpu.frontend import Circuit, Public, Secret, \
+        compile_circuit, witness
+    from gnark_tpu.io.serialize import witness_from_json, witness_to_json
+
+    class C(Circuit):
+        y: Public
+        xs: list[Secret]
+
+        def __init__(self, **kw):
+            self.xs = [None] * 2
+            super().__init__(**kw)
+
+        def define(self, api):
+            api.assert_is_equal(api.add(self.xs[0], self.xs[1]), self.y)
+
+    cs = compile_circuit(C(), fields.BN254_FR)
+    inst = C(y=7)
+    inst.xs = [3, 4]
+    js = witness_to_json(inst, cs)
+    d = json.loads(js)
+    assert d["public"]["y"] == "0x7"
+    assert d["secret"]["xs[0]"] == "0x3"
+    back = C()
+    back.xs = [None] * 2
+    witness_from_json(back, js)
+    assert witness(back, cs) == witness(inst, cs)
