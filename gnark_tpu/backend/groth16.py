@@ -383,9 +383,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     # --- computeH on device (prove.go:346-389) ---
     dom = Domain(ffr, N)
     pad = N - len(sol.a)
-    av = jnp.asarray(ffr.encode(sol.a + [0] * pad))
-    bv = jnp.asarray(ffr.encode(sol.b + [0] * pad))
-    cv = jnp.asarray(ffr.encode(sol.c + [0] * pad))
+    abc_u64 = getattr(sol, "abc_u64", None)
+    if abc_u64 is not None and len(sol.a) == abc_u64.shape[1]:
+        zp = np.zeros((3, pad, abc_u64.shape[2]), dtype=np.uint64)
+        abc_p = np.concatenate([abc_u64, zp], axis=1) if pad else abc_u64
+        av = ffr.encode_u64(abc_p[0], mont=True)
+        bv = ffr.encode_u64(abc_p[1], mont=True)
+        cv = ffr.encode_u64(abc_p[2], mont=True)
+    else:
+        av = jnp.asarray(ffr.encode(sol.a + [0] * pad))
+        bv = jnp.asarray(ffr.encode(sol.b + [0] * pad))
+        cv = jnp.asarray(ffr.encode(sol.c + [0] * pad))
     ac = dom.fft(dom.ifft(av), coset=True)
     bc = dom.fft(dom.ifft(bv), coset=True)
     cc = dom.fft(dom.ifft(cv), coset=True)
@@ -396,7 +404,11 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     h_plain = ffr.from_mont(h)          # plain limbs for MSM digits
 
     # --- MSMs (prove.go:187-305) ---
-    wire_limbs = _scalar_limbs(ffr, sol.values)
+    vals_u64 = getattr(sol, "values_u64", None)
+    if vals_u64 is not None:
+        wire_limbs = jnp.asarray(ffr.encode_u64(vals_u64, mont=False))
+    else:
+        wire_limbs = _scalar_limbs(ffr, sol.values)
     nbits = curve.fr.bits
     ar_j = msm(ffp, pk.g1_a, wire_limbs, nbits)
     bs1_j = msm(ffp, pk.g1_b, wire_limbs, nbits)

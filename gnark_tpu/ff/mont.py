@@ -74,6 +74,27 @@ class FF:
             out[i] = p.to_limbs(x)
         return out.reshape(arr.shape + (self.n,))
 
+    def encode_u64(self, arr_u64, mont: bool = False):
+        """(..., nl) little-endian uint64 limbs -> (..., n) 16-bit limb
+        array, pure numpy (no per-element Python) — the zero-copy path
+        from the native solver's output into device kernels. mont=True
+        converts on device (one Montgomery mul by R^2)."""
+        a = np.ascontiguousarray(np.asarray(arr_u64, dtype=np.uint64))
+        parts = np.stack(
+            [(a >> np.uint64(16 * k)).astype(np.uint32) & np.uint32(0xFFFF)
+             for k in range(4)], axis=-1)
+        flat = parts.reshape(a.shape[:-1] + (a.shape[-1] * 4,))
+        n = self.n
+        if flat.shape[-1] >= n:
+            out = flat[..., :n]
+        else:
+            pad = np.zeros(a.shape[:-1] + (n - flat.shape[-1],),
+                           dtype=np.uint32)
+            out = np.concatenate([flat, pad], axis=-1)
+        if not mont:
+            return out
+        return self.to_mont(jnp.asarray(out))
+
     def decode(self, limbs, mont: bool = True) -> np.ndarray:
         """Limb array -> numpy object array of Python ints."""
         arr = np.asarray(limbs)

@@ -232,6 +232,11 @@ def solve_native(cs, public: list, secret: list,
 
     vals = rows_to_ints(values, 0, nw)
     sol = Solution(values=vals)
+    # zero-copy u64 views for device encoders (FF.encode_u64): the
+    # prover's bulk limb conversions skip Python ints entirely
+    sol.values_u64 = values
+    if cs.kind == "r1cs":
+        sol.abc_u64 = abc.reshape(3, max(n_r1c, 1), nl)
     if cs.kind == "r1cs":
         sol.a = rows_to_ints(abc, 0, n_r1c)
         sol.b = rows_to_ints(abc, n_r1c, n_r1c)
