@@ -2,9 +2,9 @@
 (reference std/algebra/emulated/sw_emulated).
 
 Points are pairs of emulated Elements; incomplete affine formulas with
-explicit distinctness/nonzero preconditions (the reference's
-AddUnified/complete variants come later — the ECDSA verify below only
-adds points that are distinct with overwhelming probability).
+explicit distinctness/nonzero preconditions on the hot paths, plus a
+COMPLETE add_unified (select-based, (0,0) identity encoding) for
+precompile edge cases (reference sw_emulated AddUnified).
 
 Curves: secp256k1 (for ECDSA), P-256 params included.
 """
@@ -88,6 +88,49 @@ class EmulatedCurve:
         lam = f.div(num, f.mul(f.from_const(2), y1))
         x3 = f.sub(f.mul(lam, lam), f.mul(f.from_const(2), x1))
         y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+        return (x3, y3)
+
+    def add_unified(self, P, Q):
+        """COMPLETE addition (reference sw_emulated AddUnified):
+        handles P == Q (doubling), P == -Q and either operand being
+        the (0, 0) identity encoding; branchless via selects."""
+        f = self.f
+        api = self.api
+        x1, y1 = P
+        x2, y2 = Q
+        p_inf = api.and_(f.is_zero(x1), f.is_zero(y1))
+        q_inf = api.and_(f.is_zero(x2), f.is_zero(y2))
+        same_x = f.is_zero(f.sub(x1, x2))
+        same_y = f.is_zero(f.sub(y1, y2))
+        is_dbl = api.and_(same_x, same_y)
+        is_opp = api.and_(same_x, api.sub(1, same_y))
+
+        # denominators made nonzero on the branches that ignore them
+        den_add = f.sub(x2, x1)
+        one = f.from_const(1)
+        den_add = f.select(same_x, one, den_add)
+        lam_add = f.div(f.sub(y2, y1), den_add)
+        num_dbl = f.sum_of_products([(3, x1, x1)])
+        if self.params.a:
+            num_dbl = f.add(num_dbl, f.from_const(self.params.a))
+        den_dbl = f.mul_const(y1, 2)
+        den_dbl = f.select(f.is_zero(y1), one, den_dbl)
+        lam_dbl = f.div(num_dbl, den_dbl)
+        lam = f.select(is_dbl, lam_dbl, lam_add)
+
+        x3 = f.sum_of_products([(1, lam, lam)],
+                               lins=[(-1, x1), (-1, x2)])
+        y3 = f.sum_of_products([(1, lam, x1), (-1, lam, x3)],
+                               lins=[(-1, y1)])
+        zero = f.from_const(0)
+        # P + (-P) = identity
+        x3 = f.select(is_opp, zero, x3)
+        y3 = f.select(is_opp, zero, y3)
+        # identity operands
+        x3 = f.select(p_inf, x2, x3)
+        y3 = f.select(p_inf, y2, y3)
+        x3 = f.select(q_inf, f.select(p_inf, zero, x1), x3)
+        y3 = f.select(q_inf, f.select(p_inf, zero, y1), y3)
         return (x3, y3)
 
     def scalar_mul_bits(self, P, bits):

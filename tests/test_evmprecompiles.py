@@ -428,3 +428,51 @@ def test_bls_g2msm_precompile():
     good = C()
     good.rx0 = limbs381(R[0][0])
     assert is_solved(good, F)
+
+
+def test_add_unified_edge_cases():
+    """Complete addition: doubling, inverses, identity operands."""
+    from gnark_tpu.std.algebra.sw_emulated import EmulatedCurve
+    fh = BN.host_fp
+    P = host.ec_mul(fh, BN.g1, 5)
+    Q = host.ec_mul(fh, BN.g1, 9)
+    cases = [
+        (P, Q, host.ec_add(fh, P, Q)),
+        (P, P, host.ec_dbl(fh, P)),
+        (P, host.ec_neg(fh, P), host.INF),
+        (host.INF, Q, Q),
+        (P, host.INF, P),
+        (host.INF, host.INF, host.INF),
+    ]
+
+    def coords(pt):
+        return (0, 0) if pt is host.INF else pt
+
+    class C(Circuit):
+        ins: list[Secret]
+        rx: list[Public]
+        ry: list[Public]
+
+        def __init__(self, **kw):
+            self.ins = [None] * (4 * emu.K)
+            self.rx = [None] * emu.K
+            self.ry = [None] * emu.K
+            super().__init__(**kw)
+
+        def define(self, api):
+            curve = EmulatedCurve(api, evm.BN254_G1)
+            f = curve.f
+            els = [f.from_limb_vars(self.ins[emu.K * i:emu.K * (i + 1)])
+                   for i in range(4)]
+            r = curve.add_unified((els[0], els[1]), (els[2], els[3]))
+            f.assert_is_equal(r[0], f.from_limb_vars(self.rx))
+            f.assert_is_equal(r[1], f.from_limb_vars(self.ry))
+
+    for A, Bp, want in cases:
+        inst = C()
+        ax, ay = coords(A)
+        bx, by = coords(Bp)
+        wx, wy = coords(want)
+        inst.ins = limbs(ax) + limbs(ay) + limbs(bx) + limbs(by)
+        inst.rx, inst.ry = limbs(wx), limbs(wy)
+        assert is_solved(inst, F), (A, Bp)
