@@ -442,7 +442,33 @@ static int solve_impl(
         Fe<NL> raw;
         memcpy(raw.v, consts_raw + NL * i, NL * 8);
         fe_to_mont(raw, cs.consts[i], cs.F);
-        fe_inv(cs.consts[i], cs.consts_inv[i], cs.F);
+    }
+    // Montgomery BATCH inversion of the coefficient table: one Fermat
+    // inversion total instead of one per distinct constant (a
+    // 131k-constant circuit was paying ~2.6s here)
+    {
+        std::vector<Fe<NL>> pref(n_consts + 1);
+        Fe<NL> one_m;
+        Fe<NL> one_raw = {};
+        one_raw.v[0] = 1;
+        fe_to_mont(one_raw, one_m, cs.F);
+        pref[0] = one_m;
+        for (int64_t i = 0; i < n_consts; i++) {
+            if (is_zero(cs.consts[i]))
+                pref[i + 1] = pref[i];
+            else
+                fe_mul(pref[i], cs.consts[i], pref[i + 1], cs.F);
+        }
+        Fe<NL> acc;
+        fe_inv(pref[n_consts], acc, cs.F);
+        for (int64_t i = n_consts - 1; i >= 0; i--) {
+            if (is_zero(cs.consts[i])) {
+                cs.consts_inv[i] = Fe<NL>{};
+            } else {
+                fe_mul(acc, pref[i], cs.consts_inv[i], cs.F);
+                fe_mul(acc, cs.consts[i], acc, cs.F);
+            }
+        }
     }
 
     SolveState<NL> st;
