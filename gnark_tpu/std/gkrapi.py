@@ -100,6 +100,8 @@ def _gate_eval_circuit(api, gate: Gate, args):
         return acc
     if gate.name.startswith("mimc_"):
         return _mimc_gate_circuit(api, gate.name, args)
+    if gate.name.startswith("p2_"):
+        return _p2_gate_circuit(api, gate.name, args)
     raise KeyError(f"no circuit evaluation for gate {gate.name!r}")
 
 
@@ -130,8 +132,13 @@ def _eq_table(q, r):
 
 def _prove(q, wires, inputs_vals, out_wire, seed, field_name):
     """wires: list of (gate_name|None, in_ids); inputs_vals: values for
-    input wires; returns (proof flat list of field elements, spec) —
-    the flat list is what travels through the hint."""
+    input wires; returns the flat proof list (what travels through the
+    hint).
+
+    General DAG topology: each wire may feed many consumers; claims on
+    the same wire at different points are AGGREGATED with powers of a
+    transcript challenge rho into one sumcheck (the reference
+    gkrcore claimsManager)."""
     n = len(next(iter(inputs_vals.values())))
     m = max(1, (n - 1).bit_length())
     assert n == 1 << m
@@ -155,28 +162,44 @@ def _prove(q, wires, inputs_vals, out_wire, seed, field_name):
         r.append(ts.sum())
 
     flat = []
+    claims = {w: [] for w in range(len(wires))}
+    claims[out_wire].append((r, _mle_eval(q, vals[out_wire], r)))
 
-    def prove_claim(w, point):
+    for w in range(len(wires) - 1, -1, -1):
+        cl = claims[w]
+        if not cl:
+            continue
         g, ins = wires[w]
         if g is None:
-            return                      # input claim: checked directly
+            continue                    # input claims: checked directly
         gate = GATES[g]
-        D = 1 + gate.degree             # degree in each variable
-        tabs = [_eq_table(q, point)] + [list(vals[i]) for i in ins]
+        D = 1 + gate.degree
+        if len(cl) > 1:
+            ts.write(len(cl))
+            rho = ts.sum()
+        else:
+            rho = 1
+        eq_t = [0] * n
+        rp = 1
+        for (pt, _v) in cl:
+            et = _eq_table(q, pt)
+            for i in range(n):
+                eq_t[i] = (eq_t[i] + rp * et[i]) % q
+            rp = rp * rho % q
 
         def combine(row):
             return row[0] * gate.ev(q, *row[1:]) % q
 
         chals = []
-        cur_tabs = tabs
+        cur_tabs = [eq_t] + [list(vals[i]) for i in ins]
         for _ in range(m):
             evals = []
             for t in range(D + 1):
                 ft = [_fold(q, tb, t) for tb in cur_tabs]
-                s = 0
+                sm = 0
                 for i in range(len(ft[0])):
-                    s = (s + combine([tb[i] for tb in ft])) % q
-                evals.append(s)
+                    sm = (sm + combine([tb[i] for tb in ft])) % q
+                evals.append(sm)
             flat.extend(evals)
             ts.write(*evals)
             rc = ts.sum()
@@ -186,27 +209,27 @@ def _prove(q, wires, inputs_vals, out_wire, seed, field_name):
         flat.extend(finals)
         ts.write(*finals)
         for child, fv in zip(ins, finals):
-            prove_claim(child, chals)
+            claims[child].append((chals, fv))
 
-    prove_claim(out_wire, r)
-    return flat, vals[out_wire]
+    return flat
 
 
-def _verify_structure(wires, out_wire):
-    """Walk order + proof length bookkeeping (shared by host and
-    circuit verifiers so hint output sizes are static)."""
-    order = []
-
-    def walk(w):
+def _proof_size(wires, out_wire, m: int) -> int:
+    """Static proof length (elements) for the claim-aggregated walk."""
+    ncl = [0] * len(wires)
+    ncl[out_wire] += 1
+    total = 0
+    for w in range(len(wires) - 1, -1, -1):
+        if ncl[w] == 0:
+            continue
         g, ins = wires[w]
         if g is None:
-            return
-        order.append(w)
+            continue
+        gate = GATES[g]
+        total += m * (gate.degree + 2) + gate.nb_in
         for c in ins:
-            walk(c)
-
-    walk(out_wire)
-    return order
+            ncl[c] += 1
+    return total
 
 
 # -- hints -------------------------------------------------------------------
@@ -258,8 +281,7 @@ def _gkr_prove(q, inputs):
     for w in in_ids:
         cols[w] = inputs[off:off + n]
         off += n
-    flat, _ = _prove(q, wires, cols, out_wire, seed, field_name)
-    return flat
+    return _prove(q, wires, cols, out_wire, seed, field_name)
 
 
 # -- the user-facing API -----------------------------------------------------
@@ -322,7 +344,8 @@ class GkrApi:
 
     def verify(self) -> None:
         """Append the in-circuit GKR verification constraints
-        (reference gkrapi verification via the gkr verifier gadget)."""
+        (reference gkrapi verification via the gkr verifier gadget) —
+        general DAG topology with rho-aggregated claims."""
         api = self.api
         q = api.field()
         assert self._out is not None, "call solve() first"
@@ -335,12 +358,7 @@ class GkrApi:
         # Fiat-Shamir seed binds every instance value via one commitment
         seed = api.commit(*(flat_in + list(self._out_col)))
 
-        # static proof size from the walk order
-        order = _verify_structure(self.wires, out_wire)
-        total = 0
-        for w in order:
-            gate = GATES[self.wires[w][0]]
-            total += self.m * (gate.degree + 2) + gate.nb_in
+        total = _proof_size(self.wires, out_wire, self.m)
         proof = api.new_hint("gkr_prove", total, sid, self.n, seed,
                              *flat_in)
 
@@ -351,29 +369,44 @@ class GkrApi:
             ts.write(i)
             r.append(ts.sum())
 
-        # initial claim: MLE of the output column at r
-        claim = self._mle_eval_circuit(list(self._out_col), r)
-
+        claims = {w: [] for w in range(len(self.wires))}
+        claims[out_wire].append(
+            (r, self._mle_eval_circuit(list(self._out_col), r)))
         pos = 0
 
-        def eq_eval(rp, rho):
+        def eq_eval(rp, rho_pt):
             acc = 1
-            for a, b in zip(rp, rho):
-                # eq = a*b + (1-a)(1-b)
+            for a, b in zip(rp, rho_pt):
                 term = api.add(api.mul(a, b),
                                api.mul(api.sub(1, a), api.sub(1, b)))
                 acc = api.mul(acc, term)
             return acc
 
-        def verify_claim(w, point, cur):
-            nonlocal pos
+        for w in range(len(self.wires) - 1, -1, -1):
+            cl = claims[w]
+            if not cl:
+                continue
             g, ins = self.wires[w]
             if g is None:
-                want = self._mle_eval_circuit(self.in_cols[w], point)
-                api.assert_is_equal(cur, want)
-                return
+                # input wire: check every claim against the input MLE
+                for (pt, val) in cl:
+                    want = self._mle_eval_circuit(self.in_cols[w], pt)
+                    api.assert_is_equal(val, want)
+                continue
             gate = GATES[g]
             D = 1 + gate.degree
+            if len(cl) > 1:
+                ts.write(len(cl))
+                rho = ts.sum()
+            else:
+                rho = 1
+            # aggregated claim value: sum rho^j * v_j
+            cur = 0
+            rp = 1
+            for (_pt, v) in cl:
+                cur = api.add(cur, api.mul(rp, v))
+                rp = api.mul(rp, rho) if not isinstance(rho, int) \
+                    else rp * rho % q
             chals = []
             for _ in range(self.m):
                 evals = proof[pos:pos + D + 1]
@@ -387,12 +420,16 @@ class GkrApi:
             pos += gate.nb_in
             ts.write(*finals)
             gv = _gate_eval_circuit(api, gate, finals)
-            expect = api.mul(eq_eval(point, chals), gv)
-            api.assert_is_equal(cur, expect)
+            eq_total = 0
+            rp = 1
+            for (pt, _v) in cl:
+                eq_total = api.add(eq_total,
+                                   api.mul(rp, eq_eval(pt, chals)))
+                rp = api.mul(rp, rho) if not isinstance(rho, int) \
+                    else rp * rho % q
+            api.assert_is_equal(cur, api.mul(eq_total, gv))
             for child, fv in zip(ins, finals):
-                verify_claim(child, chals, fv)
-
-        verify_claim(out_wire, r, claim)
+                claims[child].append((chals, fv))
 
     # -- circuit MLE helpers --------------------------------------------------
 
@@ -474,3 +511,120 @@ def _mimc_gate_circuit(api, name, args):
         x8 = api.mul(x4, x4)
         return api.mul(api.mul(x8, x8), x)
     raise ValueError(f"unsupported mimc exponent {e}")
+
+
+# -- constant wires -----------------------------------------------------------
+
+def _gkr_constant(g: "GkrApi", v: int) -> int:
+    """Input wire with a constant column (free at the circuit level:
+    the values are literals)."""
+    return g.import_input([v % g.api.field()] * g.n)
+
+
+GkrApi.constant = _gkr_constant
+
+
+# -- GKR-accelerated Poseidon2 (reference gkr-poseidon2) ----------------------
+
+def _register_poseidon2_gates(field_name: str):
+    from gnark_tpu.std.hash.poseidon2 import _split_constants
+    ext1, internal, ext2 = _split_constants(field_name)
+
+    def sbox(q, x):
+        x2 = x * x % q
+        return x2 * x2 % q * x % q
+
+    def reg(name, nb_in, deg, ev):
+        if name not in GATES:
+            register_gate(name, nb_in, deg, ev)
+
+    # pre-mixing: out_k = s_k + sum(s)
+    for k in range(3):
+        reg(f"p2_{field_name}_pre_{k}", 3, 1,
+            (lambda q, a, b, c, _k=k: ((a, b, c)[_k] + a + b + c) % q))
+    # external rounds: out_k = t_k + sum(t), t_j = sbox(s_j + c_j)
+    for phase, rounds in (("e1", ext1), ("e2", ext2)):
+        for r, rc in enumerate(rounds):
+            for k in range(3):
+                def ev(q, a, b, c, _rc=tuple(rc), _k=k):
+                    t = [sbox(q, (x + cc) % q)
+                         for x, cc in zip((a, b, c), _rc)]
+                    return (t[_k] + sum(t)) % q
+                reg(f"p2_{field_name}_{phase}{r}_{k}", 3, 5, ev)
+    # internal rounds: t0 = sbox(s0 + c); M_I = [[2,1,1],[1,2,1],[1,1,3]]
+    for r, c in enumerate(internal):
+        def ev0(q, a, b, cc, _c=c):
+            t0 = sbox(q, (a + _c) % q)
+            return (2 * t0 + b + cc) % q
+        def ev1(q, a, b, cc, _c=c):
+            t0 = sbox(q, (a + _c) % q)
+            return (t0 + 2 * b + cc) % q
+        def ev2(q, a, b, cc, _c=c):
+            t0 = sbox(q, (a + _c) % q)
+            return (t0 + b + 3 * cc) % q
+        reg(f"p2_{field_name}_i{r}_0", 3, 5, ev0)
+        reg(f"p2_{field_name}_i{r}_1", 3, 5, ev1)
+        reg(f"p2_{field_name}_i{r}_2", 3, 5, ev2)
+
+
+def _p2_gate_circuit(api, name, args):
+    """Circuit evaluation of the registered poseidon2 round gates."""
+    from gnark_tpu.std.hash.poseidon2 import _split_constants
+    rest = name[3:]
+    field_name, tag = rest.rsplit("_", 2)[0], rest.split("_")[-2:]
+    kind_r, k = tag[0], int(tag[1])
+    ext1, internal, ext2 = _split_constants(field_name)
+
+    def sbox(x):
+        x2 = api.mul(x, x)
+        x4 = api.mul(x2, x2)
+        return api.mul(x4, x)
+
+    a, b, c = args
+    if kind_r == "pre":
+        tot = api.add(a, b, c)
+        return api.add((a, b, c)[k], tot)
+    if kind_r.startswith("e"):
+        rounds = ext1 if kind_r[1] == "1" else ext2
+        rc = rounds[int(kind_r[2:])]
+        t = [sbox(api.add(x, cc)) for x, cc in zip((a, b, c), rc)]
+        return api.add(t[k], api.add(t[0], t[1], t[2]))
+    if kind_r.startswith("i"):
+        cc = internal[int(kind_r[1:])]
+        t0 = sbox(api.add(a, cc))
+        if k == 0:
+            return api.add(api.mul(2, t0), b, c)
+        if k == 1:
+            return api.add(t0, api.mul(2, b), c)
+        return api.add(t0, b, api.mul(3, c))
+    raise KeyError(name)
+
+
+def gkr_poseidon2_permute(g: "GkrApi", s0: int, s1: int, s2: int,
+                          field_name: str = "bn254_fr"):
+    """Poseidon2 permutation as GKR wires: N permutations verified with
+    O(rounds * log N) sumcheck work (reference gkr-poseidon2)."""
+    from gnark_tpu.std.hash.poseidon2 import _split_constants
+    _register_poseidon2_gates(field_name)
+    ext1, internal, ext2 = _split_constants(field_name)
+    st = (s0, s1, s2)
+    st = tuple(g.named_gate(f"p2_{field_name}_pre_{k}", *st)
+               for k in range(3))
+    for r in range(len(ext1)):
+        st = tuple(g.named_gate(f"p2_{field_name}_e1{r}_{k}", *st)
+                   for k in range(3))
+    for r in range(len(internal)):
+        st = tuple(g.named_gate(f"p2_{field_name}_i{r}_{k}", *st)
+                   for k in range(3))
+    for r in range(len(ext2)):
+        st = tuple(g.named_gate(f"p2_{field_name}_e2{r}_{k}", *st)
+                   for k in range(3))
+    return st
+
+
+def gkr_poseidon2_hash2(g: "GkrApi", a: int, b: int,
+                        field_name: str = "bn254_fr") -> int:
+    """hash of two elements per instance (one sponge block, rate 2)."""
+    zero = g.constant(0)
+    out = gkr_poseidon2_permute(g, a, b, zero, field_name)
+    return out[0]

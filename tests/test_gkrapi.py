@@ -109,3 +109,45 @@ def test_gkr_mimc():
     bad.xs = xs
     bad.outs = [(w + 1) % Q for w in wants]
     assert not is_solved(bad, F)
+
+
+def test_gkr_poseidon2():
+    """GKR-accelerated Poseidon2: N 2-to-1 hashes via one GKR proof
+    (reference gkr-poseidon2); deep DAG with fanout-3 state wires
+    exercising the claim aggregation."""
+    from gnark_tpu.std.gkrapi import gkr_poseidon2_hash2
+    from gnark_tpu.std.hash.poseidon2 import Poseidon2
+    h = Poseidon2("bn254_fr")
+    n_i = 4
+    xs = [RNG.randrange(Q) for _ in range(n_i)]
+    ys = [RNG.randrange(Q) for _ in range(n_i)]
+    wants = [h.hash([a, b]) for a, b in zip(xs, ys)]
+
+    class C(Circuit):
+        xs: list[Secret]
+        ys: list[Secret]
+        outs: list[Public]
+
+        def __init__(self, **kw):
+            self.xs = [None] * n_i
+            self.ys = [None] * n_i
+            self.outs = [None] * n_i
+            super().__init__(**kw)
+
+        def define(self, api):
+            g = gkrapi.GkrApi(api, n_i)
+            a = g.import_input(self.xs)
+            b = g.import_input(self.ys)
+            out = gkr_poseidon2_hash2(g, a, b)
+            outs = g.solve(out)
+            g.verify()
+            for o, want in zip(outs, self.outs):
+                api.assert_is_equal(o, want)
+
+    inst = C()
+    inst.xs, inst.ys, inst.outs = xs, ys, wants
+    assert is_solved(inst, F)
+    bad = C()
+    bad.xs, bad.ys = xs, ys
+    bad.outs = [(w + 1) % Q for w in wants]
+    assert not is_solved(bad, F)
