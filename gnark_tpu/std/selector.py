@@ -66,3 +66,20 @@ def slice_sum(api, values, start, end):
     for v, me, ms in zip(values, m_end, m_start):
         acc = api.add(acc, api.mul(v, api.sub(me, ms)))
     return acc
+
+
+# -- batch inversion (reference BlueprintBatchInverse) ------------------------
+
+def batch_invert(api, values):
+    """Invert many values with ONE hint (reference
+    constraint/blueprint_batch_inverse.go): each inverse is certified
+    by v * inv == 1 (so zero values make the circuit unsatisfiable)."""
+    from gnark_tpu.constraint.hints import HINTS, register_hint
+    if "batch_inv" not in HINTS:
+        @register_hint("batch_inv")
+        def _batch_inv(q, ins):
+            return [pow(v % q, -1, q) if v % q else 0 for v in ins]
+    outs = api.new_hint("batch_inv", len(values), *values)
+    for v, iv in zip(values, outs):
+        api.assert_is_equal(api.mul(v, iv), 1)
+    return outs

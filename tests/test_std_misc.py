@@ -135,3 +135,34 @@ def test_hash_to_field_rfc9380():
     # 48-byte reduction really spreads beyond 2^254
     big = hash_to_field(b"x", b"d", 64, p)
     assert len(set(big)) == 64
+
+
+def test_batch_invert():
+    import random
+    from gnark_tpu import fields
+    from gnark_tpu.frontend import Circuit, Public, Secret
+    from gnark_tpu.std.selector import batch_invert
+    from gnark_tpu.test_engine import is_solved
+    F = fields.BN254_FR
+    q = F.modulus
+    rng = random.Random(8)
+    vals = [rng.randrange(1, q) for _ in range(5)]
+    invs = [pow(v, -1, q) for v in vals]
+
+    class C(Circuit):
+        ok: Public
+
+        def define(self, api):
+            outs = batch_invert(api, vals)
+            for got, want in zip(outs, invs):
+                api.assert_is_equal(got, want)
+
+    assert is_solved(C(ok=1), F)
+
+    class CZero(Circuit):
+        ok: Public
+
+        def define(self, api):
+            batch_invert(api, [3, 0, 5])
+
+    assert not is_solved(CZero(ok=1), F)
