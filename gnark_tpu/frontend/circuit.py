@@ -112,8 +112,14 @@ def _walk_slot(parent, name, ann, path, want, visit, get, set_):
 
 
 def compile_circuit(circuit: Circuit, field: FieldParams,
-                    builder_cls=R1CSBuilder) -> ConstraintSystem:
-    """Compile: allocate wires (public then secret), run define()."""
+                    builder_cls=R1CSBuilder,
+                    check_unconstrained: bool = False) -> ConstraintSystem:
+    """Compile: allocate wires (public then secret), run define().
+
+    check_unconstrained=True errors when a secret input appears in no
+    constraint/hint (the reference errors by DEFAULT unless
+    IgnoreUnconstrainedInputs is passed; here the check is opt-in
+    because dummy anchor fields are idiomatic in the test corpus)."""
     builder = builder_cls(field)
 
     def alloc_public(path, get, set_):
@@ -129,7 +135,24 @@ def compile_circuit(circuit: Circuit, field: FieldParams,
     while getattr(builder, "deferred", None):
         fn = builder.deferred.pop(0)
         fn(builder)
-    return builder.cs
+    cs = builder.cs
+    if check_unconstrained:
+        used = set()
+        for con in cs.r1cs:
+            for e in (con.l, con.r, con.o):
+                used.update(w for _c, w in e)
+        for con in cs.sparse:
+            used.update((con.xa, con.xb, con.xo))
+        for inst in cs.instructions:
+            if inst.kind == "hint":
+                for e in inst.inputs:
+                    used.update(w for _c, w in e)
+        for w in range(cs.nb_public, cs.nb_public + cs.nb_secret):
+            if w not in used:
+                raise ValueError(
+                    f"secret input wire {w} is unconstrained "
+                    "(pass check_unconstrained=False to allow)")
+    return cs
 
 
 def witness(assigned: Circuit, cs: ConstraintSystem):

@@ -222,3 +222,34 @@ def test_levels_structure():
     # x*x (lvl 0) -> x2*x (lvl 1) -> assert (lvl 2)
     assert len(cs.levels) == 3
     assert cs.summary().startswith("r1cs over bn254_fr")
+
+
+def test_unconstrained_input_check():
+    """Opt-in unconstrained-secret detection (reference
+    IgnoreUnconstrainedInputs semantics, inverted default)."""
+    import pytest as _p
+    from gnark_tpu import fields
+    from gnark_tpu.frontend import Circuit, Public, Secret, \
+        compile_circuit
+
+    class Loose(Circuit):
+        x: Secret
+        unused: Secret
+        y: Public
+
+        def define(self, api):
+            api.assert_is_equal(api.mul(self.x, self.x), self.y)
+
+    compile_circuit(Loose(), fields.BN254_FR)          # default: ok
+    with _p.raises(ValueError, match="unconstrained"):
+        compile_circuit(Loose(), fields.BN254_FR,
+                        check_unconstrained=True)
+
+    class Tight(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            api.assert_is_equal(api.mul(self.x, self.x), self.y)
+
+    compile_circuit(Tight(), fields.BN254_FR, check_unconstrained=True)
