@@ -134,3 +134,14 @@ def test_groth16_lookup_commitment():
     proof = groth16.prove(cs, pk, pub, sec)
     assert groth16.verify(proof, vk, pub)
     assert not groth16.verify(proof, vk, [SBOX[8]])
+
+
+@pytest.mark.slow
+def test_dummy_setup_prove_path():
+    """DummySetup: O(1) fake pk drives the full prove pipeline
+    (benchmarking path; proofs intentionally do not verify)."""
+    cs = compile_circuit(Cubic(), fields.BN254_FR)
+    pk = groth16.dummy_setup(cs, "bn254")
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=random.Random(2))
+    assert proof.ar is not None and proof.bs is not None
