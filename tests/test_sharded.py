@@ -121,3 +121,29 @@ def test_ntt_sharded_four_step(mesh8):
                                   inverse=True))
     wanti = np.asarray(dom.ifft(x))
     assert np.array_equal(goti, wanti)
+
+
+@pytest.mark.slow
+def test_msm_sharded_2d_host_chip_mesh():
+    """Simulated multi-host topology: the 8 virtual devices addressed
+    as a ("host", "chip") 2x4 mesh (DCN x ICI in production); the MSM
+    shards points across the flattened host*chip axis and folds the
+    partials across the full mesh — equal to single-device."""
+    import jax
+    from jax.sharding import Mesh
+    from gnark_tpu.ec.weierstrass import jac_to_affine
+    from gnark_tpu.msm import msm
+    from gnark_tpu.parallel.sharded import msm_sharded
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("host", "chip"))
+    assert dict(mesh2.shape) == {"host": 2, "chip": 4}
+    ffp, points, scalars, _ks = _points_scalars(32)
+    nbits = CURVE.fr.bits
+    flat = Mesh(devs.reshape(8), ("shard",))
+    R2 = msm_sharded(ffp, points, scalars, nbits, flat, axis="shard")
+    R1 = msm(ffp, points, scalars, nbits)
+    a1 = jac_to_affine(ffp, tuple(v[None] for v in R1))
+    a2 = jac_to_affine(ffp, tuple(v[None] for v in R2))
+    for u, v in zip(a1, a2):
+        assert np.array_equal(np.asarray(u), np.asarray(v))
