@@ -238,8 +238,11 @@ _SPECS = {}          # spec_id -> (wires, out_wire, field_name)
 
 
 def _spec_register(wires, out_wire, field_name):
-    key = (tuple((g, tuple(i)) for g, i in wires), out_wire, field_name)
-    sid = abs(hash(key)) % (1 << 30)
+    import hashlib
+    key = repr((tuple((g, tuple(i)) for g, i in wires), out_wire,
+                field_name)).encode()
+    sid = int.from_bytes(hashlib.sha256(key).digest()[:4], "big") \
+        % (1 << 30)
     _SPECS[sid] = (wires, out_wire, field_name)
     return sid
 
