@@ -363,7 +363,8 @@ def _h2f_bsb22(curve, point, recursion: bool = False) -> int:
 
 def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
           rng=None, hint_overrides=None,
-          recursion_friendly: bool = False) -> PlonkProof:
+          recursion_friendly: bool = False,
+          statistical_zk: bool = False) -> PlonkProof:
     """recursion_friendly: derive every Fiat-Shamir challenge with the
     MiMC transcript over the 2-chain outer field (reference
     backend.WithProverChallengeHashFunction + recursion.NewShort), so
@@ -638,6 +639,20 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     h1 = h_coeffs[shard:2 * shard]
     h2 = h_coeffs[2 * shard:3 * shard]
     assert all(v == 0 for v in h_coeffs[3 * shard:]), "quotient degree bound"
+    if statistical_zk:
+        # quotient shard randomizers (reference prove.go:238-242 w/
+        # StatisticalZK): h0 += b1 X^(N+2); h1 += -b1 + b2 X^(N+2);
+        # h2 -= b2 — the zeta^(N+2)-weighted fold telescopes them away,
+        # so verification is unchanged while the individual shard
+        # commitments are statistically hiding
+        b1, b2 = rnd(q), rnd(q)
+        h0 = list(h0) + [0] * (shard + 1 - len(h0))
+        h1 = list(h1) + [0] * (shard + 1 - len(h1))
+        h2 = list(h2) + [0] * max(0, 1 - len(h2))
+        h0[shard] = (h0[shard] + b1) % q
+        h1[0] = (h1[0] - b1) % q
+        h1[shard] = (h1[shard] + b2) % q
+        h2[0] = (h2[0] - b2) % q
     c_h0 = kzg_mod.commit(pk.srs, h0 or [0])
     c_h1 = kzg_mod.commit(pk.srs, h1 or [0])
     c_h2 = kzg_mod.commit(pk.srs, h2 or [0])

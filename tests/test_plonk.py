@@ -168,3 +168,19 @@ def test_plonk_rho_pass_matches(monkeypatch):
     assert p_rho.h == p_one.h
     assert p_rho.claimed == p_one.claimed
     assert plonk.verify(p_rho, vk, pub)
+
+
+@pytest.mark.slow
+def test_plonk_statistical_zk():
+    """StatisticalZK quotient randomizers: proofs still verify, shard
+    commitments are re-randomized (reference prove.go:238-242)."""
+    import random as _r
+    cs = compile_circuit(Cubic(), fields.BN254_FR, builder_cls=SCSBuilder)
+    srs = kzg.setup_srs("bn254", 64, rng=_r.Random(3))
+    pk, vk = plonk.setup(cs, srs)
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    p1 = plonk.prove(cs, pk, pub, sec, rng=_r.Random(4))
+    p2 = plonk.prove(cs, pk, pub, sec, rng=_r.Random(4),
+                     statistical_zk=True)
+    assert plonk.verify(p2, vk, pub)
+    assert p1.h != p2.h          # shards re-randomized
