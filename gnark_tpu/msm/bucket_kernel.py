@@ -91,13 +91,21 @@ def _tff(name: str) -> TFF:
 
 def _geometry(W: int, L: int):
     """(G, T_pad): maximize add width under the bucket VMEM budget.
-    T_pad rounds W*G up to the 128-lane tile; dead lanes are masked."""
-    best = (1, 128)
+    T_pad rounds W*G up to the 128-lane tile; dead lanes are masked.
+
+    The bucket-state footprint 3*L*B*T depends on T only — NOT on G —
+    so when the budget rejects every G, fall back to the largest G
+    whose W*G still fits in the minimal (G=1) lane width: those extra
+    points ride in otherwise-dead lanes for free (same VMEM, G x fewer
+    substeps). E.g. bn254 (W=32, L=16): (G=4, T=128) replaces the old
+    (1, 128) fallback at identical footprint and 4x the throughput."""
     for G in (16, 8, 4, 2, 1):
         T = -(-W * G // 128) * 128
         if 3 * L * T * BUCKETS * 4 <= _VMEM_CAP:
             return G, T
-    return best
+    T1 = -(-W // 128) * 128
+    G = next(g for g in (16, 8, 4, 2, 1) if W * g <= T1)
+    return G, T1
 
 
 def _lane_digits(digits, inf, G: int, T: int, ck: int):
