@@ -14,28 +14,49 @@ Implementation benched: the VMEM-resident bucket mega-kernel
 chain K data-dependent MSMs inside ONE jit and fit time vs K — the
 slope is the true per-MSM device time.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness contract (round-2 postmortem: the driver's timeout killed
+the bench mid-secondary and the headline never printed): the headline
+is computed FIRST; every secondary metric runs in a SUBPROCESS with
+its own timeout under a global deadline; the headline JSON line is
+printed LAST (the driver parses the final JSON line).
+
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline"};
+headline = the last line.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+DEADLINE = time.monotonic() + float(
+    os.environ.get("GNARK_TPU_BENCH_BUDGET", "420"))
 
-def main():
-    import os
+
+def _left():
+    return DEADLINE - time.monotonic()
+
+
+def _setup_jax():
     os.makedirs("/root/.cache/gnark_tpu_xla_tpu", exist_ok=True)
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/gnark_tpu_xla_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return jax
+
+
+def _msm_points_per_sec(n: int) -> float:
+    """Slope-timed MSM throughput at size n (points/s)."""
+    jax = _setup_jax()
     import jax.numpy as jnp
     from gnark_tpu.ec import curves, host
     from gnark_tpu.ff import get_ff
     from gnark_tpu.msm import bucket_kernel as bk
 
-    n = 1 << 16
     curve = curves.CURVES["bn254"]
     ffp = get_ff(curve.fp.name)
     ffr = get_ff(curve.fr.name)
@@ -92,35 +113,25 @@ def main():
         times[K] = best
 
     per_msm = (times[3] - times[1]) / 2
-    pps = n / per_msm
+    return n / per_msm
 
-    # --- secondary metrics (VERDICT: NTT 2^20 + proofs/sec lines) ---
-    try:
-        _bench_ntt(jax, jnp, ffr, 1 << 20)
-    except Exception as e:  # secondary metrics must not kill the bench
-        print(json.dumps({"metric": "bn254_ntt_2^20_error",
-                          "value": 0, "unit": str(e)[:80],
-                          "vs_baseline": 0}))
-    try:
-        _bench_groth16_prove()
-    except Exception as e:
-        print(json.dumps({"metric": "groth16_prove_error",
-                          "value": 0, "unit": str(e)[:80],
-                          "vs_baseline": 0}))
 
-    # headline LAST (driver parses the final JSON line)
-    baseline_pps = 1e6  # conservative gnark-CPU estimate, see docstring
+def _secondary_msm20():
+    pps = _msm_points_per_sec(1 << 20)
     print(json.dumps({
-        "metric": "bn254_g1_msm_2^16_points_per_sec",
-        "value": round(pps, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pps / baseline_pps, 4),
-    }))
+        "metric": "bn254_g1_msm_2^20_points_per_sec",
+        "value": round(pps, 1), "unit": "points/s",
+        "vs_baseline": round(pps / 1e6, 4)}), flush=True)
 
 
-def _bench_ntt(jax, jnp, ffr, n):
-    """Forward NTT of size n, slope-timed (K-chained)."""
+def _secondary_ntt20():
+    """Forward NTT of size 2^20, slope-timed (K-chained)."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from gnark_tpu.ff import get_ff
     from gnark_tpu.ntt import Domain
+    n = 1 << 20
+    ffr = get_ff("bn254_fr")
     dom = Domain(ffr, n)
     rng = np.random.RandomState(3)
     q = ffr.p.modulus
@@ -151,17 +162,16 @@ def _bench_ntt(jax, jnp, ffr, n):
     # (order-of-magnitude; no in-repo reference number exists)
     print(json.dumps({
         "metric": "bn254_fr_ntt_2^20_ms",
-        "value": round(per * 1e3, 2),
-        "unit": "ms",
+        "value": round(per * 1e3, 2), "unit": "ms",
         "vs_baseline": round(0.030 / per, 4) if per > 0 else 0,
-    }))
+    }), flush=True)
 
 
-def _bench_groth16_prove():
+def _secondary_g16():
     """End-to-end Groth16 prove wall time (host solve + device
     MSM/NTT) on a ~2^10-constraint MiMC circuit."""
     import random
-
+    _setup_jax()
     from gnark_tpu import fields
     from gnark_tpu.backend import groth16
     from gnark_tpu.frontend import Circuit, Public, Secret, \
@@ -191,17 +201,73 @@ def _bench_groth16_prove():
     proof = groth16.prove(cs, pk, pub, sec, rng=random.Random(6))
     assert groth16.verify(proof, vk, pub)
     best = float("inf")
-    for i in range(3):
+    for i in range(2):
         t0 = time.perf_counter()
         groth16.prove(cs, pk, pub, sec, rng=random.Random(7 + i))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
         "metric": f"groth16_prove_mimc_{cs.nb_constraints}c_ms",
-        "value": round(best * 1e3, 1),
-        "unit": "ms",
+        "value": round(best * 1e3, 1), "unit": "ms",
         "vs_baseline": 0.0,   # no measured gnark number available
-    }))
+    }), flush=True)
+
+
+SECONDARIES = {
+    "msm20": (_secondary_msm20, 150),
+    "ntt20": (_secondary_ntt20, 120),
+    "g16": (_secondary_g16, 150),
+}
+
+
+def _run_secondary(name: str):
+    """Run one secondary metric in a subprocess so a hang/crash cannot
+    eat the global budget or kill the headline."""
+    _, want = SECONDARIES[name]
+    budget = min(want, _left() - 30)   # keep 30s for headline reprint
+    if budget < 30:
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--secondary",
+             name],
+            timeout=budget, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({"metric": f"{name}_timeout", "value": 0,
+                          "unit": f">{int(budget)}s", "vs_baseline": 0}),
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — secondaries must not kill bench
+        print(json.dumps({"metric": f"{name}_error", "value": 0,
+                          "unit": str(e)[:60], "vs_baseline": 0}),
+              flush=True)
+
+
+def main():
+    # --- headline FIRST (its value must survive any later failure) ---
+    pps = _msm_points_per_sec(1 << 16)
+    baseline_pps = 1e6  # conservative gnark-CPU estimate, see docstring
+    headline = json.dumps({
+        "metric": "bn254_g1_msm_2^16_points_per_sec",
+        "value": round(pps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pps / baseline_pps, 4),
+    })
+    print(headline, flush=True)
+
+    # --- secondary metrics, each in a time-boxed subprocess ---
+    for name in ("msm20", "ntt20", "g16"):
+        if _left() > 60:
+            _run_secondary(name)
+
+    # headline LAST (driver parses the final JSON line)
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--secondary":
+        SECONDARIES[sys.argv[2]][0]()
+    else:
+        main()

@@ -145,6 +145,18 @@ def jac_add_mixed(f, P, A):
     return R
 
 
+def proj_to_jac(f, P):
+    """Homogeneous projective (X : Y : Z) -> Jacobian (X*Z, Y*Z^2, Z).
+
+    The projective identity (0 : 1 : 0) maps to Z = 0 == Jacobian
+    infinity. Used by the MSM bucket kernel whose internal state is
+    Renes-Costello projective (ec/pallas_ec.py) while the public MSM
+    contract stays Jacobian."""
+    X, Y, Z = P
+    Z2 = f.square(Z)
+    return (f.mul(X, Z), f.mul(Y, Z2), Z)
+
+
 def jac_neg(f, P):
     return (P[0], f.neg(P[1]), P[2])
 

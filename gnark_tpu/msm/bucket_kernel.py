@@ -40,10 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gnark_tpu.fields import FIELDS
 from gnark_tpu.ff.mont import FF
 from gnark_tpu.ff.pallas_mont import TFF
-from gnark_tpu.ec.pallas_ec import _jac_add_mixed_t, _interpret
-from gnark_tpu.ec.weierstrass import jac_inf
-from gnark_tpu.msm.pippenger import (_group_ops, _suffix_sums,
-                                     window_digits)
+from gnark_tpu.ec.pallas_ec import (_interpret, _proj_madd_t, proj_add_p,
+                                    proj_double_p)
+from gnark_tpu.ec.weierstrass import proj_to_jac
+from gnark_tpu.msm.pippenger import _suffix_sums, window_digits
 from gnark_tpu.utils.jaxutil import match_vma
 
 import os
@@ -51,6 +51,20 @@ import os
 C_BITS = int(os.environ.get("GNARK_TPU_MSM_C", "8"))
 BUCKETS = 1 << (C_BITS - 1)       # bucket magnitudes per window
 _VMEM_CAP = 7 << 20               # bucket-state budget (bytes)
+
+
+@functools.lru_cache(maxsize=None)
+def curve_b3(field_name: str):
+    """(|3b|, negate?) for the unique a=0 curve whose base field is
+    `field_name`, or None. All device-MSM curves (the 4 pairing curves
+    + grumpkin, reference doc.go:22-32) have a = 0, which is what makes
+    the Renes-Costello complete formulas applicable."""
+    from gnark_tpu.ec import curves
+    for c in curves.CURVES.values():
+        if c.fp.name == field_name:
+            b3 = 3 * c.b
+            return (abs(b3), b3 < 0)
+    return None
 
 
 def _chunk(G: int) -> int:
@@ -97,14 +111,22 @@ def _geometry(W: int, L: int):
     so when the budget rejects every G, fall back to the largest G
     whose W*G still fits in the minimal (G=1) lane width: those extra
     points ride in otherwise-dead lanes for free (same VMEM, G x fewer
-    substeps). E.g. bn254 (W=32, L=16): (G=4, T=128) replaces the old
-    (1, 128) fallback at identical footprint and 4x the throughput."""
+    substeps). E.g. bn254 at GNARK_TPU_MSM_C=10 (W=26, L=16, B=512):
+    the fallback picks (G=4, T=128) instead of (1, 128) — identical
+    footprint, 4x the throughput. At the default C_BITS=8 the loop
+    itself succeeds (bn254: G=8, T=256) and the fallback is unused."""
     for G in (16, 8, 4, 2, 1):
         T = -(-W * G // 128) * 128
         if 3 * L * T * BUCKETS * 4 <= _VMEM_CAP:
             return G, T
     T1 = -(-W // 128) * 128
     G = next(g for g in (16, 8, 4, 2, 1) if W * g <= T1)
+    from gnark_tpu.logger import get_logger
+    get_logger().debug(
+        "msm bucket geometry over budget: W=%d L=%d B=%d -> (G=%d, T=%d)"
+        " uses %d bytes of bucket state (soft cap %d); pallas_call may"
+        " fail to compile if device VMEM is also exceeded",
+        W, L, BUCKETS, G, T1, 3 * L * T1 * BUCKETS * 4, _VMEM_CAP)
     return G, T1
 
 
@@ -127,7 +149,12 @@ def _lane_digits(digits, inf, G: int, T: int, ck: int):
     return d
 
 
-def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
+def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int, b3):
+    """Bucket state is Renes-Costello PROJECTIVE (X : Y : Z), identity
+    (0 : 1 : 0): the complete mixed add (ec/pallas_ec._proj_madd_t) is
+    one branchless straight-line formula (11M + 2*mul-by-3b), vs the
+    Jacobian complete add that paid a full doubling path + select
+    chains on every substep (~1.45x the field work)."""
     B = BUCKETS
     sub = _chunk(G) // G
 
@@ -136,7 +163,9 @@ def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
 
         @pl.when(step == 0)
         def _():
-            bk[:] = jnp.zeros_like(bk)
+            z = jnp.zeros((L, B, T), jnp.uint32)
+            one = jnp.broadcast_to(onecol[:][:, :, None], (L, B, T))
+            bk[:] = jnp.stack([z, one, z], axis=0)
 
         fb = f.bind(pcol[:], onecol[:])
         # bucket index on the SUBLANE axis: mask (B, T) needs no
@@ -170,8 +199,9 @@ def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
             cur = (allb.astype(jnp.int32) * mu[None, None]).sum(
                 axis=2).astype(jnp.uint32)            # (3, L, T)
 
-            new = _jac_add_mixed_t(
-                fb, (cur[0], cur[1], cur[2]), xb, yb, ~valid)
+            # invalid lanes gather all-zeros (degenerate input) but are
+            # never written back: mask is False across their B column
+            new = _proj_madd_t(fb, (cur[0], cur[1], cur[2]), xb, yb, b3)
             neww = jnp.stack(new, axis=0)             # (3, L, T)
 
             bk[:] = jnp.where(mask[None, None], neww[:, :, None, :], allb)
@@ -181,8 +211,17 @@ def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _msm_device(ff: FF, points, digits, W: int):
-    """points: (x, y, inf) with n a multiple of CHUNK; digits (W, n)."""
+    """points: (x, y, inf) with n a multiple of CHUNK; digits (W, n).
+
+    Returns a JACOBIAN point (the public contract); internally the
+    bucket state and the whole epilogue are Renes-Costello projective
+    with identity (0 : 1 : 0), converted at the very end."""
     f = _tff(ff.p.name)
+    b3 = curve_b3(ff.p.name)
+    if b3 is None:
+        raise ValueError(
+            f"no a=0 curve registered for base field {ff.p.name}; "
+            "use msm/pippenger.msm (Jacobian scan path) instead")
     L = ff.n
     B = BUCKETS
     G, T = _geometry(W, L)
@@ -195,7 +234,7 @@ def _msm_device(ff: FF, points, digits, W: int):
 
     cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bk = pl.pallas_call(
-        _accumulate_kernel(f, W, G, L, T),
+        _accumulate_kernel(f, W, G, L, T, b3),
         out_shape=jax.ShapeDtypeStruct((3, L, B, T), jnp.uint32),
         grid=(steps,),
         in_specs=[cspec, cspec,
@@ -215,28 +254,36 @@ def _msm_device(ff: FF, points, digits, W: int):
         jnp.transpose(bk[i], (2, 1, 0))[: W * G].reshape(W, G, B, L)
         for i in range(3))
 
-    add_fn, _, double_fn = _group_ops(ff)
+    def add_fn(f_, S, Q):
+        return proj_add_p(f_, b3, S, Q)
+
+    # projective identity (0 : 1 : 0) fill for out-of-range shifts
+    ident = (jnp.zeros((), jnp.uint32), jnp.asarray(ff.one_np),
+             jnp.zeros((), jnp.uint32))
 
     # fold group copies (suffix over G, take slot 0) — O(1) add-graph
     # instantiations per reduction (see pippenger._suffix_sums note)
-    P = _suffix_sums(ff, coords, G, axis=1, add_fn=add_fn)
+    P = _suffix_sums(ff, coords, G, axis=1, add_fn=add_fn,
+                     identity=ident)
     P = tuple(a[:, 0] for a in P)                     # (W, B, L)
 
     # weighted bucket reduction: magnitude of bucket i is i+1, so
     # sum_i (i+1)*P_i = double suffix-sum over ALL B buckets
-    suf = _suffix_sums(ff, P, B, axis=1, add_fn=add_fn)
-    tot = _suffix_sums(ff, suf, B, axis=1, add_fn=add_fn)
+    suf = _suffix_sums(ff, P, B, axis=1, add_fn=add_fn, identity=ident)
+    tot = _suffix_sums(ff, suf, B, axis=1, add_fn=add_fn, identity=ident)
     tot = tuple(a[:, 0] for a in tot)                 # (W, L)
 
     # Horner over windows, top-down: R = 2^c * R + T_w
     def win_body(i, R):
-        R = jax.lax.fori_loop(0, C_BITS,
-                              lambda _, S: double_fn(ff, S), R)
+        R = jax.lax.fori_loop(
+            0, C_BITS, lambda _, S: proj_double_p(ff, b3, S), R)
         Tw = tuple(a[W - 1 - i][None] for a in tot)
-        return add_fn(ff, R, Tw)
+        return proj_add_p(ff, b3, R, Tw)
 
-    R0 = tuple(match_vma(a, x) for a in jac_inf(ff, (1,)))
+    R0 = (ff.zeros((1,)), ff.ones((1,)), ff.zeros((1,)))
+    R0 = tuple(match_vma(a, x) for a in R0)
     R = jax.lax.fori_loop(0, W, win_body, R0)
+    R = proj_to_jac(ff, R)
     return tuple(a[0] for a in R)
 
 

@@ -70,31 +70,37 @@ def window_digits(scalars, nbits: int, c: int):
     return jnp.stack(cols, axis=1).astype(jnp.int32)
 
 
-def _suffix_sums(f, P, m: int, axis: int, add_fn=jac_add):
+def _suffix_sums(f, P, m: int, axis: int, add_fn=jac_add, identity=None):
     """Log-depth suffix sums over axis of length m with EC adds.
 
     Hillis-Steele over a fori_loop: S_i <- S_i + S_{i+2^k}, shifted
-    elements beyond the end masked to infinity. ONE jac_add
+    elements beyond the end masked to the group identity. ONE jac_add
     instantiation in the graph regardless of m (compile-time critical:
     tree folds / associative_scan instantiate the 4k-op complete-add
     graph log(m) times and made MSM compiles take minutes).
     Returns a pytree shaped like P where index i along `axis` holds
     sum_{j >= i} P_j.
+
+    identity: per-coordinate fill values for out-of-range entries
+    (broadcastable against a trailing limb dim). Default None = all
+    zeros, the Jacobian infinity (Z=0). Renes-Costello projective
+    callers MUST pass (0, one, 0): the all-zero triple is degenerate
+    there (it absorbs: P + (0,0,0) = (0,0,0)).
     """
     steps = max(m - 1, 0).bit_length()
     idx = jnp.arange(m, dtype=jnp.int32)
+    if identity is None:
+        identity = tuple(jnp.zeros((), a.dtype) for a in P)
 
     def body(k, S):
         sh = jnp.int32(1) << k
-        # out-of-range shifted entries become all-zero coords (Z=0 ==
-        # infinity, the identity of jac_add) via the valid mask.
-        def shift(a):
+        def shift(a, fill):
             rolled = jnp.roll(a, -sh, axis=axis)
             shape = [1] * a.ndim
             shape[axis] = m
             valid = ((idx + sh) < m).reshape(shape)
-            return jnp.where(valid, rolled, jnp.zeros((), a.dtype))
-        shifted = tuple(shift(a) for a in S)
+            return jnp.where(valid, rolled, fill)
+        shifted = tuple(shift(a, fl) for a, fl in zip(S, identity))
         if add_fn is not jac_add:
             # pallas kernels take one flat batch dim: (n, L)
             shp = S[0].shape
@@ -218,11 +224,12 @@ def msm(f, points, scalars, nbits: int, c: int | None = None,
     impl = config.msm_impl()
     want_bucket = impl == "bucket" or (
         impl == "auto" and jax.devices()[0].platform != "cpu")
-    if (want_bucket
-            and getattr(getattr(f, "p", None), "name", None) in FIELDS
+    fname = getattr(getattr(f, "p", None), "name", None)
+    if (want_bucket and fname in FIELDS
             and points[0].ndim == 2):      # prime-field coords only
-        from gnark_tpu.msm.bucket_kernel import msm_bucket
-        return msm_bucket(f, points, scalars, nbits)
+        from gnark_tpu.msm.bucket_kernel import curve_b3, msm_bucket
+        if curve_b3(fname) is not None:    # known a=0 curve
+            return msm_bucket(f, points, scalars, nbits)
     x, y, inf = points
     n = x.shape[0]
     # round the size up to a power-of-two class (>= 64) so repeated

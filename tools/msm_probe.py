@@ -45,7 +45,7 @@ def kernel_only(ff, points, digits, W):
     sd = bk._lane_digits(digits, inf, G, T, ck)
     cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bkout = pl.pallas_call(
-        bk._accumulate_kernel(f, W, G, L, T),
+        bk._accumulate_kernel(f, W, G, L, T, bk.curve_b3(ff.p.name)),
         out_shape=jax.ShapeDtypeStruct((3, L, B, T), jnp.uint32),
         grid=(steps,),
         in_specs=[cspec, cspec,
