@@ -124,11 +124,10 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
         from gnark_tpu.backend.transcript import outer_mimc_field
         from gnark_tpu.std.hash.mimc import MiMC
         h = MiMC(outer_mimc_field(curve))
+        from gnark_tpu.backend.transcript import mimc_point_writes
         h.write(int.from_bytes(b"BSB22-Groth16", "big"))
-        if point is host.INF:
-            h.write(0, 0)
-        else:
-            h.write(point[0], point[1])
+        h.write(*mimc_point_writes(
+            curve, None if point is host.INF else point))
         mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
         return h.sum() & mask
     import hashlib

@@ -342,13 +342,12 @@ def _h2f_bsb22(curve, point, recursion: bool = False) -> int:
     """Commitment challenge from a pi2 commitment (reference uses
     hash_to_field with dst "BSB22-Plonk"; byte convention is ours)."""
     if recursion:
+        from gnark_tpu.backend.transcript import mimc_point_writes
         from gnark_tpu.std.hash.mimc import MiMC
         h = MiMC(_outer_mimc_field(curve))
         h.write(int.from_bytes(b"BSB22-Plonk", "big"))
-        if point is host.INF:
-            h.write(0, 0)
-        else:
-            h.write(point[0], point[1])
+        h.write(*mimc_point_writes(
+            curve, None if point is host.INF else point))
         mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
         return h.sum() & mask
     h = hashlib.sha256(b"BSB22-Plonk")

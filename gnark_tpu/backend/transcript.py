@@ -71,9 +71,11 @@ class MimcTranscript:
     field regardless of the outer modulus."""
 
     def __init__(self, q: int, names: list[str], mimc_field: str):
+        from gnark_tpu import fields
         from gnark_tpu.std.hash.mimc import MiMC
         self._mk = lambda: MiMC(mimc_field)
         self.q = q
+        self.mimc_q = fields.FIELDS[mimc_field].modulus
         self.mask = (1 << (q.bit_length() - 8)) - 1
         self.names = list(names)
         self._data: dict[str, list] = {n: [] for n in names}
@@ -83,15 +85,29 @@ class MimcTranscript:
     def fe_bytes(self, v: int):
         return [v % self.q]
 
+    def coord_fes(self, c: int, p_mod: int):
+        """One curve coordinate as MiMC-field elements. 2-chain case
+        (p_mod <= transcript field): bind directly. Emulated /
+        self-recursion case (e.g. bn254 fp under a bn254_fr MiMC):
+        split into the std/math/emulated limb layout (LSB-first
+        B=64-bit limbs) — exactly the limb VARIABLES an in-circuit
+        verifier holds, so it can recompute the transcript natively."""
+        if p_mod <= self.mimc_q:
+            return [c % p_mod]
+        from gnark_tpu.std.math import emulated as emu
+        c %= p_mod
+        return [(c >> (emu.B * i)) & emu.MASK for i in range(emu.K)]
+
     def point_bytes(self, P, p_mod: int):
         if P is None:
-            return [0, 0]
+            return self.coord_fes(0, p_mod) * 2
         out = []
         for c in P:
             if isinstance(c, tuple):
-                out += [c[0] % p_mod, c[1] % p_mod]
+                out += self.coord_fes(c[0], p_mod) \
+                    + self.coord_fes(c[1], p_mod)
             else:
-                out.append(c % p_mod)
+                out += self.coord_fes(c, p_mod)
         return out
 
     def bind(self, name: str, data) -> None:
@@ -114,15 +130,40 @@ class MimcTranscript:
         return v
 
 
+def mimc_point_writes(curve, point) -> list:
+    """Field elements a recursion-friendly hash-to-field writes for an
+    affine point (None/INF -> zero coords), with the same coordinate
+    limb-splitting rule as MimcTranscript.coord_fes."""
+    from gnark_tpu import fields
+    mimc_q = fields.FIELDS[outer_mimc_field(curve)].modulus
+    p_mod = curve.fp.modulus
+    coords = [0, 0] if point is None else [point[0], point[1]]
+
+    def fes(c):
+        if p_mod <= mimc_q:
+            return [c % p_mod]
+        from gnark_tpu.std.math import emulated as emu
+        c %= p_mod
+        return [(c >> (emu.B * i)) & emu.MASK for i in range(emu.K)]
+    return [v for c in coords for v in fes(c)]
+
+
 def outer_mimc_field(curve) -> str:
-    """Field-registry name of the curve's BASE field (= the 2-chain
-    outer scalar field) that has MiMC parameters — for
-    recursion-friendly transcripts and hash-to-field."""
+    """Field-registry name of the field recursion-friendly transcripts
+    hash over: the curve's BASE field for a 2-chain (outer scalar
+    field == inner fp, e.g. bls12-377 inside bw6-761), else the
+    curve's own SCALAR field (emulated self-recursion, e.g. bn254
+    inside a bn254-fr circuit — coordinates then bind as emulated
+    limbs, see MimcTranscript.coord_fes)."""
     from gnark_tpu import fields
     from gnark_tpu.std.hash.mimc import PARAMS
-    names = [n for n, f in fields.FIELDS.items()
-             if f.modulus == curve.fp.modulus]
-    for n in names:
-        if n in PARAMS:
-            return n
-    raise ValueError(f"no MiMC params for fp({curve.name}); have {names}")
+
+    def named(modulus):
+        for n, f in fields.FIELDS.items():
+            if f.modulus == modulus and n in PARAMS:
+                return n
+        return None
+    n = named(curve.fp.modulus) or named(curve.fr.modulus)
+    if n is None:
+        raise ValueError(f"no MiMC params for {curve.name} fp or fr")
+    return n

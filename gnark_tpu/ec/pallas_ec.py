@@ -133,77 +133,78 @@ def _jac_add_mixed_t(f: TFF, P, x2, y2, inf2):
 # a = 0, so these replace the Jacobian complete adds in the MSM bucket
 # kernel: the Jacobian path pays for a full doubling branch plus select
 # chains on EVERY add; these are single straight-line formulas.
-# b3 = 3*b is passed as (|3b| small-int, negate?) so the multiply is a
-# cheap add chain.
+#
+# Cost discipline (measured in tools/mul_bench.py): all arithmetic is
+# in the <= 2p lazy class (TFF.mul_lazy/add2p/sub2p/sop2 — no final
+# conditional subtracts), the three output sums are fused 2-product
+# CIOS calls, and the multiply by b3 = 3*b is a constant-OPERAND
+# Montgomery mul with the (L, 1) column b3col = (3b * R mod p) —
+# passed as a kernel input (Pallas kernels cannot capture array
+# constants; build it with TFF.mont_col). Outputs are <= 2p; callers
+# canonicalize at kernel boundaries with TFF.canon.
 # ---------------------------------------------------------------------------
 
-def _mul_b3(f: TFF, a, b3):
-    k, negate = b3
-    r = f.mul_small(a, k)
-    return f.neg(r) if negate else r
-
-
-def _proj_add_t(f: TFF, P, Q, b3):
-    """Complete projective add, RC15 Algorithm 7 (a=0): 12M + 2mb3."""
+def _proj_add_t(f: TFF, P, Q, b3col):
+    """Complete projective add, RC15 Algorithm 7 (a=0)."""
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
-    t0 = f.mul(X1, X2)
-    t1 = f.mul(Y1, Y2)
-    t2 = f.mul(Z1, Z2)
-    t3 = f.mul(f.add(X1, Y1), f.add(X2, Y2))
-    t3 = f.sub(t3, f.add(t0, t1))
-    t4 = f.mul(f.add(Y1, Z1), f.add(Y2, Z2))
-    t4 = f.sub(t4, f.add(t1, t2))
-    Y3 = f.mul(f.add(X1, Z1), f.add(X2, Z2))
-    Y3 = f.sub(Y3, f.add(t0, t2))
-    X3 = f.add(f.double(t0), t0)
-    t2 = _mul_b3(f, t2, b3)
-    Z3 = f.add(t1, t2)
-    t1 = f.sub(t1, t2)
-    Y3 = _mul_b3(f, Y3, b3)
-    X3_out = f.sub(f.mul(t3, t1), f.mul(t4, Y3))
-    Y3_out = f.add(f.mul(t1, Z3), f.mul(Y3, X3))
-    Z3_out = f.add(f.mul(Z3, t4), f.mul(X3, t3))
+    t0 = f.mul_lazy(X1, X2)
+    t1 = f.mul_lazy(Y1, Y2)
+    t2 = f.mul_lazy(Z1, Z2)
+    t3 = f.sub2p(f.mul_lazy(f.add2p(X1, Y1), f.add2p(X2, Y2)),
+                 f.add2p(t0, t1))
+    t4 = f.sub2p(f.mul_lazy(f.add2p(Y1, Z1), f.add2p(Y2, Z2)),
+                 f.add2p(t1, t2))
+    Y3 = f.sub2p(f.mul_lazy(f.add2p(X1, Z1), f.add2p(X2, Z2)),
+                 f.add2p(t0, t2))
+    X3 = f.add2p(f.double2p(t0), t0)          # 3*t0
+    t2 = f.mul_lazy(t2, b3col)
+    Z3 = f.add2p(t1, t2)
+    t1 = f.sub2p(t1, t2)
+    Y3 = f.mul_lazy(Y3, b3col)
+    X3_out = f.sop2(t3, t1, t4, f.neg2p(Y3))
+    Y3_out = f.sop2(t1, Z3, Y3, X3)
+    Z3_out = f.sop2(Z3, t4, X3, t3)
     return X3_out, Y3_out, Z3_out
 
 
-def _proj_madd_t(f: TFF, P, x2, y2, b3):
-    """Complete MIXED projective add, RC15 Algorithm 8 (a=0): 11M+2mb3.
+def _proj_madd_t(f: TFF, P, x2, y2, b3col):
+    """Complete MIXED projective add, RC15 Algorithm 8 (a=0).
 
     Q = (x2, y2) affine, assumed NOT infinity (MSM callers mask
     infinity/zero-digit lanes out of the bucket write instead)."""
     X1, Y1, Z1 = P
-    t0 = f.mul(X1, x2)
-    t1 = f.mul(Y1, y2)
-    t3 = f.mul(f.add(x2, y2), f.add(X1, Y1))
-    t3 = f.sub(t3, f.add(t0, t1))
-    t4 = f.add(f.mul(y2, Z1), Y1)
-    Y3 = f.add(f.mul(x2, Z1), X1)
-    X3 = f.add(f.double(t0), t0)     # 3*t0
-    t2 = _mul_b3(f, Z1, b3)
-    Z3 = f.add(t1, t2)
-    t1 = f.sub(t1, t2)
-    Y3 = _mul_b3(f, Y3, b3)
-    X3_out = f.sub(f.mul(t3, t1), f.mul(t4, Y3))
-    Y3_out = f.add(f.mul(t1, Z3), f.mul(Y3, X3))
-    Z3_out = f.add(f.mul(Z3, t4), f.mul(X3, t3))
+    t0 = f.mul_lazy(X1, x2)
+    t1 = f.mul_lazy(Y1, y2)
+    t3 = f.sub2p(f.mul_lazy(f.add2p(x2, y2), f.add2p(X1, Y1)),
+                 f.add2p(t0, t1))
+    t4 = f.add2p(f.mul_lazy(y2, Z1), Y1)
+    Y3 = f.add2p(f.mul_lazy(x2, Z1), X1)
+    X3 = f.add2p(f.double2p(t0), t0)          # 3*t0
+    t2 = f.mul_lazy(Z1, b3col)
+    Z3 = f.add2p(t1, t2)
+    t1 = f.sub2p(t1, t2)
+    Y3 = f.mul_lazy(Y3, b3col)
+    X3_out = f.sop2(t3, t1, t4, f.neg2p(Y3))
+    Y3_out = f.sop2(t1, Z3, Y3, X3)
+    Z3_out = f.sop2(Z3, t4, X3, t3)
     return X3_out, Y3_out, Z3_out
 
 
-def _proj_dbl_t(f: TFF, P, b3):
-    """Complete projective double, RC15 Algorithm 9 (a=0): 6M+2S+1mb3."""
+def _proj_dbl_t(f: TFF, P, b3col):
+    """Complete projective double, RC15 Algorithm 9 (a=0)."""
     X, Y, Z = P
-    t0 = f.square(Y)
-    Z3 = f.double(f.double(f.double(t0)))     # 8*Y^2
-    t1 = f.mul(Y, Z)
-    t2 = _mul_b3(f, f.square(Z), b3)
-    X3 = f.mul(t2, Z3)
-    Y3 = f.add(t0, t2)
-    Z3 = f.mul(t1, Z3)
-    t2 = f.add(f.double(t2), t2)              # 3*t2
-    t0 = f.sub(t0, t2)
-    Y3 = f.add(X3, f.mul(t0, Y3))
-    X3 = f.double(f.mul(t0, f.mul(X, Y)))
+    t0 = f.mul_lazy(Y, Y)
+    Z3 = f.double2p(f.double2p(f.double2p(t0)))     # 8*Y^2
+    t1 = f.mul_lazy(Y, Z)
+    t2 = f.mul_lazy(f.mul_lazy(Z, Z), b3col)
+    X3 = f.mul_lazy(t2, Z3)
+    Y3 = f.add2p(t0, t2)
+    Z3 = f.mul_lazy(t1, Z3)
+    t2 = f.add2p(f.double2p(t2), t2)                # 3*t2
+    t0 = f.sub2p(t0, t2)
+    Y3 = f.add2p(X3, f.mul_lazy(t0, Y3))
+    X3 = f.double2p(f.mul_lazy(t0, f.mul_lazy(X, Y)))
     return X3, Y3, Z3
 
 
@@ -294,53 +295,57 @@ def jac_add_mixed_p(ff: FF, P, A):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def proj_add_p(ff: FF, b3, P, Q):
+def proj_add_p(ff: FF, b3: int, P, Q):
     """Batched complete projective add (RC15 Alg 7, a=0).
 
-    P, Q: (X, Y, Z) arrays of shape (n, L); b3 = (|3b|, negate?)."""
+    P, Q: (X, Y, Z) arrays of shape (n, L); b3 = 3*b mod p (int).
+    Inputs may be <= 2p representatives; outputs are canonical."""
     f = _tff(ff.p.name)
     L = ff.n
     n = P[0].shape[0]
     arrs, np_ = _pad_to_tile(list(P) + list(Q), n)
 
-    def kernel(pcol, onecol, x1, y1, z1, x2, y2, z2, ox, oy, oz):
-        fb = f.bind(pcol[:], onecol[:])
+    def kernel(pcol, onecol, p2col, b3col, x1, y1, z1, x2, y2, z2,
+               ox, oy, oz):
+        fb = f.bind(pcol[:], onecol[:], p2col[:])
         R = _proj_add_t(fb, (x1[:].T, y1[:].T, z1[:].T),
-                        (x2[:].T, y2[:].T, z2[:].T), b3)
+                        (x2[:].T, y2[:].T, z2[:].T), b3col[:])
+        R = tuple(fb.canon(a) for a in R)
         ox[:], oy[:], oz[:] = R[0].T, R[1].T, R[2].T
 
     out = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((np_, L), jnp.uint32)] * 3,
         grid=(np_ // _T,),
-        in_specs=[_const_spec(L)] * 2 + [_spec(L)] * 6,
+        in_specs=[_const_spec(L)] * 4 + [_spec(L)] * 6,
         out_specs=[_spec(L)] * 3,
         interpret=_interpret(),
-    )(*f.consts(), *arrs)
+    )(*f.consts3(), f.mont_col(b3), *arrs)
     return tuple(a[:n] for a in out)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def proj_double_p(ff: FF, b3, P):
+def proj_double_p(ff: FF, b3: int, P):
     """Batched complete projective double (RC15 Alg 9, a=0)."""
     f = _tff(ff.p.name)
     L = ff.n
     n = P[0].shape[0]
     arrs, np_ = _pad_to_tile(list(P), n)
 
-    def kernel(pcol, onecol, x1, y1, z1, ox, oy, oz):
-        fb = f.bind(pcol[:], onecol[:])
-        R = _proj_dbl_t(fb, (x1[:].T, y1[:].T, z1[:].T), b3)
+    def kernel(pcol, onecol, p2col, b3col, x1, y1, z1, ox, oy, oz):
+        fb = f.bind(pcol[:], onecol[:], p2col[:])
+        R = _proj_dbl_t(fb, (x1[:].T, y1[:].T, z1[:].T), b3col[:])
+        R = tuple(fb.canon(a) for a in R)
         ox[:], oy[:], oz[:] = R[0].T, R[1].T, R[2].T
 
     out = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((np_, L), jnp.uint32)] * 3,
         grid=(np_ // _T,),
-        in_specs=[_const_spec(L)] * 2 + [_spec(L)] * 3,
+        in_specs=[_const_spec(L)] * 4 + [_spec(L)] * 3,
         out_specs=[_spec(L)] * 3,
         interpret=_interpret(),
-    )(*f.consts(), *arrs)
+    )(*f.consts3(), f.mont_col(b3), *arrs)
     return tuple(a[:n] for a in out)
 
 

@@ -45,18 +45,39 @@ class TFF:
                               dtype=np.uint32).reshape(-1, 1)
         self.one_col = np.array(params.to_limbs(params.R_mod),
                                 dtype=np.uint32).reshape(-1, 1)
+        # 2p column for the lazy (<= 2p) representation ops. 2p always
+        # fits the limb count: every registered field has >= 2 spare
+        # bits (e.g. bn254 fp: 254 bits in 16x16 = 256).
+        self.P2_col = np.array(params.to_limbs(2 * params.modulus),
+                               dtype=np.uint32).reshape(-1, 1)
         self.n0inv = np.uint32(params.n0inv)
 
-    def bind(self, pcol, onecol) -> "TFF":
+    def bind(self, pcol, onecol, p2col=None) -> "TFF":
         import copy
         t = copy.copy(self)
         t.P_col = pcol
         t.one_col = onecol
+        if p2col is not None:
+            t.P2_col = p2col
         return t
 
     def consts(self):
         """Host (L,1) np arrays to pass as kernel inputs."""
         return (np.asarray(self.P_col), np.asarray(self.one_col))
+
+    def consts3(self):
+        """(P, one, 2P) — for kernels using the lazy 2p-class ops."""
+        return (np.asarray(self.P_col), np.asarray(self.one_col),
+                np.asarray(self.P2_col))
+
+    def mont_col(self, k: int) -> np.ndarray:
+        """(L,1) column of k*R mod p — a constant OPERAND for mul():
+        mont-mul by it multiplies by plain k. In-kernel this is 2.1x
+        cheaper than mul_small(9)'s double/add chain (measured
+        tools/mul_bench.py: 396 vs 848 cycles at (16,512))."""
+        par = self.p
+        return np.array(par.to_limbs(k * par.R % par.modulus),
+                        dtype=np.uint32).reshape(-1, 1)
 
     # -- helpers -----------------------------------------------------------
 
@@ -85,16 +106,34 @@ class TFF:
             borrow = jnp.asarray(1, _DT) - (t >> LIMB_BITS)
         return jnp.stack(rows, 0), borrow
 
-    def _cond_sub_p(self, a):
-        """Reduce (< 2p, width n or n+1) into [0, p)."""
+    def _cond_sub_c(self, a, col):
+        """Subtract the (n,1) column once if a >= it (width n or n+1)."""
         m = a.shape[0]
-        P = jnp.asarray(self.P_col)
+        P = jnp.asarray(col)
         if m > self.n:
             P = jnp.concatenate(
                 [P, jnp.zeros((m - self.n,) + P.shape[1:], _DT)], 0)
         d, borrow = self._sub_borrow(a, P)
         keep = (borrow != 0)[None]
         return jnp.where(keep, a, d)[: self.n]
+
+    def _cond_sub_p(self, a):
+        """Reduce (< 2p, width n or n+1) into [0, p)."""
+        return self._cond_sub_c(a, self.P_col)
+
+    def _carry_signed(self, acc, out_n):
+        """Ripple normalize SIGNED int32 lazy limbs (each in
+        (-2^31, 2^31), total value nonnegative and < 2^(16*out_n)) to
+        uint32 limbs < 2^16. Arithmetic >> is floor division, so
+        negative intermediates carry exactly."""
+        rows = []
+        c = jnp.zeros(acc.shape[1:], jnp.int32)
+        m = acc.shape[0]
+        for i in range(out_n):
+            t = (acc[i] if i < m else jnp.zeros_like(c)) + c
+            rows.append((t & jnp.int32(0xFFFF)).astype(_DT))
+            c = t >> 16
+        return jnp.stack(rows, 0)
 
     # -- ring ops ----------------------------------------------------------
 
@@ -130,16 +169,21 @@ class TFF:
                 base = self.double(base)
         return r
 
-    def mul(self, a, b):
-        """CIOS Montgomery product, fully unrolled. a, b: (n, T)."""
+    def _cios(self, prods):
+        """Fused CIOS Montgomery sum of products: lazy (n+1, T)
+        accumulator of sum_k a_k*b_k * R^-1. prods: [(a, b), ...] with
+        a, b (n, T)-ish. Accumulator limbs stay < ~n*(2k+3)*2^16 —
+        u32-safe up to k ~ 100 products."""
         n = self.n
         P = jnp.asarray(self.P_col)  # (n, 1)
-        z1 = self._z1(a)
-        acc = jnp.zeros((n + 1,) + a.shape[1:], _DT)
+        a0 = prods[0][0]
+        z1 = self._z1(a0)
+        acc = jnp.zeros((n + 1,) + a0.shape[1:], _DT)
         for i in range(n):
-            pij = a[i][None] * b                       # (n, T)
-            acc = acc + jnp.concatenate([pij & _MASK, z1], 0)
-            acc = acc + jnp.concatenate([z1, pij >> LIMB_BITS], 0)
+            for (a, b) in prods:
+                pij = a[i][None] * b                   # (n, T)
+                acc = acc + jnp.concatenate([pij & _MASK, z1], 0)
+                acc = acc + jnp.concatenate([z1, pij >> LIMB_BITS], 0)
             m = (acc[0][None] & _MASK) * self.n0inv & _MASK
             q = m * P                                  # (n, T)
             acc = acc + jnp.concatenate([q & _MASK, z1], 0)
@@ -148,10 +192,60 @@ class TFF:
             # scatter-add primitive)
             carry = acc[0] >> LIMB_BITS
             acc = jnp.concatenate([(acc[1] + carry)[None], acc[2:], z1], 0)
-        return self._cond_sub_p(self._carry(acc, n + 1))
+        return acc
+
+    def mul(self, a, b):
+        """CIOS Montgomery product, fully unrolled. a, b: (n, T)."""
+        return self._cond_sub_p(self._carry(self._cios([(a, b)]),
+                                            self.n + 1))
 
     def square(self, a):
         return self.mul(a, a)
+
+    # -- lazy (<= 2p) representation ops -------------------------------------
+    #
+    # The EC formulas (ec/pallas_ec.py) run on representatives in
+    # [0, 2p]: CIOS with <= 2p inputs yields < 2p without the final
+    # conditional subtract (needs 4p < R — every registered field has
+    # >= 2 spare limb bits), so each op saves one or two borrow-select
+    # passes (measured tools/mul_bench.py: ~20-40% of op time).
+    # Canonicalize with canon() at kernel boundaries.
+
+    def mul_lazy(self, a, b):
+        """a * b * R^-1 for a, b <= 2p; result < 2p, no cond-sub."""
+        return self._carry(self._cios([(a, b)]), self.n + 1)[: self.n]
+
+    def sop2(self, a1, b1, a2, b2):
+        """a1*b1 + a2*b2 (Montgomery), inputs <= 2p, result <= 2p.
+        One fused CIOS (~1.6x one mul) instead of 2 muls + 1 add."""
+        acc = self._carry(self._cios([(a1, b1), (a2, b2)]), self.n + 1)
+        return self._cond_sub_c(acc, self.P2_col)
+
+    def add2p(self, a, b):
+        """a + b for a, b <= 2p; result <= 2p."""
+        s = self._carry(a + b, self.n + 1)
+        return self._cond_sub_c(s, self.P2_col)
+
+    def sub2p(self, a, b):
+        """a - b mod p for a, b <= 2p; result <= 2p (a + 2p - b with
+        signed lazy limbs, then one conditional subtract)."""
+        t = (a.astype(jnp.int32) - b.astype(jnp.int32)
+             + jnp.asarray(self.P2_col).astype(jnp.int32))
+        t = self._carry_signed(t, self.n + 1)
+        return self._cond_sub_c(t, self.P2_col)
+
+    def neg2p(self, a):
+        """2p - a for a <= 2p: a valid representative of -a."""
+        t = (jnp.asarray(self.P2_col).astype(jnp.int32)
+             - a.astype(jnp.int32))
+        return self._carry_signed(t, self.n + 1)[: self.n]
+
+    def double2p(self, a):
+        return self.add2p(a, a)
+
+    def canon(self, a):
+        """<= 2p -> canonical [0, p): two conditional subtracts."""
+        return self._cond_sub_p(self._cond_sub_p(a))
 
     # -- predicates / select -----------------------------------------------
 

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -55,15 +56,14 @@ _VMEM_CAP = 7 << 20               # bucket-state budget (bytes)
 
 @functools.lru_cache(maxsize=None)
 def curve_b3(field_name: str):
-    """(|3b|, negate?) for the unique a=0 curve whose base field is
+    """3*b mod p for the unique a=0 curve whose base field is
     `field_name`, or None. All device-MSM curves (the 4 pairing curves
     + grumpkin, reference doc.go:22-32) have a = 0, which is what makes
     the Renes-Costello complete formulas applicable."""
     from gnark_tpu.ec import curves
     for c in curves.CURVES.values():
         if c.fp.name == field_name:
-            b3 = 3 * c.b
-            return (abs(b3), b3 < 0)
+            return 3 * c.b % c.fp.modulus
     return None
 
 
@@ -115,9 +115,13 @@ def _geometry(W: int, L: int):
     the fallback picks (G=4, T=128) instead of (1, 128) — identical
     footprint, 4x the throughput. At the default C_BITS=8 the loop
     itself succeeds (bn254: G=8, T=256) and the fallback is unused."""
+    g_env = os.environ.get("GNARK_TPU_MSM_G")
+    if g_env:
+        G = int(g_env)
+        return G, -(-W * G // 128) * 128
     for G in (16, 8, 4, 2, 1):
         T = -(-W * G // 128) * 128
-        if 3 * L * T * BUCKETS * 4 <= _VMEM_CAP:
+        if 3 * (L // 2) * T * BUCKETS * 4 <= _VMEM_CAP:
             return G, T
     T1 = -(-W // 128) * 128
     G = next(g for g in (16, 8, 4, 2, 1) if W * g <= T1)
@@ -126,7 +130,7 @@ def _geometry(W: int, L: int):
         "msm bucket geometry over budget: W=%d L=%d B=%d -> (G=%d, T=%d)"
         " uses %d bytes of bucket state (soft cap %d); pallas_call may"
         " fail to compile if device VMEM is also exceeded",
-        W, L, BUCKETS, G, T1, 3 * L * T1 * BUCKETS * 4, _VMEM_CAP)
+        W, L, BUCKETS, G, T1, 3 * (L // 2) * T1 * BUCKETS * 4, _VMEM_CAP)
     return G, T1
 
 
@@ -149,25 +153,54 @@ def _lane_digits(digits, inf, G: int, T: int, ck: int):
     return d
 
 
-def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int, b3):
+def _unpack_rows(p, L: int):
+    """(L/2, T) packed u32 (limb 2i in the low half-word of row i,
+    limb 2i+1 in the high half) -> (L, T) one-limb-per-row. Built from
+    (1, T) row slices + one concatenate: Mosaic has no in-kernel
+    sublane reshape/strided-slice."""
+    lo = p & 0xFFFF
+    hi = p >> 16
+    rows = []
+    for i in range(L // 2):
+        rows.append(lo[i:i + 1])
+        rows.append(hi[i:i + 1])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _pack_rows(a, L: int):
+    """(L, T) -> (L/2, T) packed u32 (inverse of _unpack_rows)."""
+    lo = jnp.concatenate([a[2 * i:2 * i + 1] for i in range(L // 2)], 0)
+    hi = jnp.concatenate([a[2 * i + 1:2 * i + 2] for i in range(L // 2)],
+                         0)
+    return lo | (hi << 16)
+
+
+def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
     """Bucket state is Renes-Costello PROJECTIVE (X : Y : Z), identity
     (0 : 1 : 0): the complete mixed add (ec/pallas_ec._proj_madd_t) is
     one branchless straight-line formula (11M + 2*mul-by-3b), vs the
     Jacobian complete add that paid a full doubling path + select
-    chains on every substep (~1.45x the field work)."""
+    chains on every substep (~1.45x the field work).
+
+    The state stores limbs PACKED two-per-u32 word (3, L/2, B, T): the
+    per-substep one-hot gather and masked writeback stream the whole
+    state through the VPU, so halving its footprint halves the
+    dominant non-EC cost (measured ~45% of kernel time unpacked)."""
     B = BUCKETS
+    Lp = L // 2
     sub = _chunk(G) // G
 
-    def kernel(pcol, onecol, xT, yT, sd, bk):
+    def kernel(pcol, onecol, p2col, b3col, ponecol, xT, yT, sd, bk):
         step = pl.program_id(0)
 
         @pl.when(step == 0)
         def _():
-            z = jnp.zeros((L, B, T), jnp.uint32)
-            one = jnp.broadcast_to(onecol[:][:, :, None], (L, B, T))
+            z = jnp.zeros((Lp, B, T), jnp.uint32)
+            one = jnp.broadcast_to(ponecol[:][:, :, None], (Lp, B, T))
             bk[:] = jnp.stack([z, one, z], axis=0)
 
-        fb = f.bind(pcol[:], onecol[:])
+        fb = f.bind(pcol[:], onecol[:], p2col[:])
+        b3c = b3col[:]
         # bucket index on the SUBLANE axis: mask (B, T) needs no
         # transpose (iota rows vs per-lane idx broadcast)
         iota_B = jax.lax.broadcasted_iota(jnp.int32, (B, T), 0)
@@ -188,23 +221,28 @@ def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int, b3):
                 selg = lane_g == g                    # (1, T)
                 xb = jnp.where(selg, xT[:, s * G + g][:, None], xb)
                 yb = jnp.where(selg, yT[:, s * G + g][:, None], yb)
-            yb = jnp.where(neg[None, :], fb.neg(yb), yb)
+            yb = jnp.where(neg[None, :], fb.neg2p(yb), yb)
 
             mask = (iota_B == idx[None, :]) & valid[None, :]   # (B, T)
             mu = mask.astype(jnp.int32)
 
-            allb = bk[:]                              # (3, L, B, T)
-            # one-hot masked sublane sum; via int32 (limbs < 2^16, one
-            # hit per lane) — Mosaic has no unsigned reductions
-            cur = (allb.astype(jnp.int32) * mu[None, None]).sum(
-                axis=2).astype(jnp.uint32)            # (3, L, T)
+            allb = bk[:]                              # (3, Lp, B, T)
+            # one-hot masked sublane sum in int32 (one hit per lane,
+            # bit pattern preserved — Mosaic has no unsigned sums)
+            curp = (allb.astype(jnp.int32) * mu[None, None]).sum(
+                axis=2).astype(jnp.uint32)            # (3, Lp, T)
+            cur = tuple(_unpack_rows(curp[i], L) for i in range(3))
 
             # invalid lanes gather all-zeros (degenerate input) but are
             # never written back: mask is False across their B column
-            new = _proj_madd_t(fb, (cur[0], cur[1], cur[2]), xb, yb, b3)
-            neww = jnp.stack(new, axis=0)             # (3, L, T)
+            new = _proj_madd_t(fb, cur, xb, yb, b3c)
+            neww = jnp.stack([_pack_rows(a, L) for a in new], axis=0)
 
             bk[:] = jnp.where(mask[None, None], neww[:, :, None, :], allb)
+
+        # NOTE: the state holds <= 2p representatives; the epilogue's
+        # projective kernels accept those (their formulas run in the
+        # same lazy class) and canonicalize their own outputs.
 
     return kernel
 
@@ -232,27 +270,39 @@ def _msm_device(ff: FF, points, digits, W: int):
     sub = ck // G
     sd = _lane_digits(digits, inf, G, T, ck)
 
+    if L % 2:
+        raise ValueError(f"odd limb count {L} unsupported (packed state)")
+    Lp = L // 2
+    pcol, onecol, p2col = f.consts3()
+    pone = (onecol[0::2] | (onecol[1::2].astype(np.uint32) << 16))
+
     cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((Lp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     bk = pl.pallas_call(
-        _accumulate_kernel(f, W, G, L, T, b3),
-        out_shape=jax.ShapeDtypeStruct((3, L, B, T), jnp.uint32),
+        _accumulate_kernel(f, W, G, L, T),
+        out_shape=jax.ShapeDtypeStruct((3, Lp, B, T), jnp.uint32),
         grid=(steps,),
-        in_specs=[cspec, cspec,
+        in_specs=[cspec, cspec, cspec, cspec, pspec,
                   pl.BlockSpec((L, ck), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((L, ck), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((sub, T), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, L, B, T), lambda i: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((3, Lp, B, T), lambda i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(*f.consts(), x.T, y.T, sd)
+    )(pcol, onecol, p2col, f.mont_col(b3), pone, x.T, y.T, sd)
 
+    # unpack half-words (XLA-side: reshapes are free here), then
     # lanes -> (W, G, B, L) standard layout, drop dead lanes
+    def _unpack_xla(p):                               # (Lp, B, T)
+        return jnp.stack([p & 0xFFFF, p >> 16], axis=1).reshape(L, B, T)
+
     coords = tuple(
-        jnp.transpose(bk[i], (2, 1, 0))[: W * G].reshape(W, G, B, L)
-        for i in range(3))
+        jnp.transpose(_unpack_xla(bk[i]), (2, 1, 0))[: W * G]
+        .reshape(W, G, B, L) for i in range(3))
 
     def add_fn(f_, S, Q):
         return proj_add_p(f_, b3, S, Q)

@@ -337,3 +337,269 @@ def assert_proof_plonk(api, vk, pv, publics):
 
     cx.pc.assert_pairing_product_is_one(
         [(F, tuple(vk.g2_gen)), (negW, tuple(vk.g2_tau))])
+
+
+# -- emulated variant: BN254 PLONK proofs inside a BN254-scalar circuit ------
+
+def proof_witness_plonk_bn254(proof):
+    """Flatten a recursion-friendly bn254 PlonkProof into assignments
+    for assert_proof_plonk_bn254: point coordinates become emulated-fp
+    limbs (LSB-first, std/math/emulated layout), scalars stay native."""
+    pts = list(proof.lro) + [proof.z] + list(proof.h) \
+        + list(proof.bsb22) + [proof.batched_h, proof.z_shift_h]
+    limbs = []
+    for (x, y) in pts:
+        for v in (x, y):
+            limbs += [(v >> (emu.B * i)) & emu.MASK for i in range(emu.K)]
+    return dict(pt_limbs=limbs, claimed=list(proof.claimed),
+                zu=proof.zu)
+
+
+def assert_proof_plonk_bn254(api, vk, pv, publics):
+    """Assert a recursion-friendly bn254 PLONK proof verifies against
+    the CONSTANT inner vk — the EMULATED recursion path (reference
+    std/recursion/plonk/verifier.go with sw_bn254; self-recursion:
+    inner fr == the outer circuit field, so ALL polynomial-identity
+    algebra is native and only the curve/pairing ops are emulated).
+
+    pv: dict with
+        pt_limbs: flat emulated-fp limb vars, emu.K per coordinate,
+             (x, y) per point, points ordered
+             [l, r, o, z, h0, h1, h2, *bsb22, batched_h, z_shift_h]
+        claimed: native vars [lin_z, lz, rz, oz, s1z, s2z, qcp...]
+        zu: native var
+    publics: inner public values as native vars (no ONE wire).
+
+    Transcript convention mirrors the host recursion mode exactly:
+    MiMC over bn254_fr, point coordinates bound as their emu.B-bit
+    limbs (backend/transcript.MimcTranscript.coord_fes)."""
+    from gnark_tpu.std.algebra.pairing_bn254 import FixedG2, PairingBN254
+    from gnark_tpu.std.algebra.sw_bn254 import G1EmulatedBN254
+
+    assert vk.curve.name == "bn254", "emulated path expects bn254 inner"
+    if len(publics) != vk.nb_public - 1:
+        raise ValueError(f"want {vk.nb_public - 1} inner publics")
+    nqcp = len(vk.qcp_c)
+
+    pr = PairingBN254(api)
+    fe = pr.fe
+    g1 = G1EmulatedBN254(api, fe)
+    q = vk.curve.fr.modulus
+    assert api.field() == q, "outer field must be the inner fr"
+    rbits = q.bit_length()
+    mask_bits = rbits - 8
+    N = vk.size
+    w = vk.generator
+    u = vk.coset_shift
+    nbits = vk.curve.fr.bits
+
+    # -- unpack + wellformedness ---------------------------------------------
+    npts = 9 + nqcp
+    k = emu.K
+    raw = pv["pt_limbs"]
+    assert len(raw) == 2 * k * npts
+    pts = []
+    for i in range(npts):
+        x = fe.from_limb_vars(raw[2 * k * i: 2 * k * i + k])
+        y = fe.from_limb_vars(raw[2 * k * i + k: 2 * k * (i + 1)])
+        pts.append((x, y))
+    c_l, c_r, c_o, c_z, h0, h1, h2 = pts[:7]
+    bsb22 = pts[7:7 + nqcp]
+    batched_h, z_shift_h = pts[7 + nqcp], pts[8 + nqcp]
+    for P in pts:
+        pr.assert_on_g1(P)
+
+    claimed = list(pv["claimed"])
+    assert len(claimed) == 6 + nqcp
+    zu = pv["zu"]
+
+    # -- Fiat-Shamir (mirrors MimcTranscript, coords bound as limbs) ---------
+    from gnark_tpu.std.fiatshamir import Transcript as CTranscript
+    ts = CTranscript(api, ["gamma", "beta", "alpha", "zeta"],
+                     hash_factory=lambda: MiMCGadget(api, "bn254_fr"))
+
+    def const_coord_limbs(c: int):
+        return [(c >> (emu.B * i)) & emu.MASK for i in range(emu.K)]
+
+    def bind_const_pt(name, P):
+        ts.bind(name, *const_coord_limbs(P[0]), *const_coord_limbs(P[1]))
+
+    def bind_var_pt(name, P):
+        ts.bind(name, *P[0].limbs, *P[1].limbs)
+
+    for P in vk.s_comm:
+        bind_const_pt("gamma", P)
+    for P in (vk.ql_c, vk.qr_c, vk.qm_c, vk.qo_c, vk.qk_c):
+        bind_const_pt("gamma", P)
+    for P in vk.qcp_c:
+        bind_const_pt("gamma", P)
+    ts.bind("gamma", 1)                  # the constant-one wire
+    for v in publics:
+        ts.bind("gamma", v)
+    for P in (c_l, c_r, c_o):
+        bind_var_pt("gamma", P)
+
+    def _assert_bits_leq(bits, bound: int):
+        acc = 1
+        for i in range(len(bits) - 1, -1, -1):
+            if (bound >> i) & 1:
+                acc = api.mul(acc, bits[i])
+            else:
+                api.assert_is_equal(api.mul(acc, bits[i]), 0)
+
+    def truncate(c):
+        """Canonical-decomposition truncation to rbits-8 bits."""
+        bits = api.to_binary(c, rbits)
+        _assert_bits_leq(bits, q - 1)
+        return api.from_binary(bits[:mask_bits])
+
+    def challenge(name):
+        c_full = ts.compute_challenge(name)
+        t = truncate(c_full)
+        ts._value[name] = t              # next prev = truncated
+        return t
+
+    gamma = challenge("gamma")
+    beta = challenge("beta")
+    for P in bsb22:
+        bind_var_pt("alpha", P)
+    bind_var_pt("alpha", c_z)
+    alpha = challenge("alpha")
+    for P in (h0, h1, h2):
+        bind_var_pt("zeta", P)
+    zeta = challenge("zeta")
+
+    # -- scalar identities (NATIVE field = inner fr) --------------------------
+    zeta_n = zeta
+    for _ in range(N.bit_length() - 1):
+        zeta_n = api.mul(zeta_n, zeta_n)
+    zh = api.sub(zeta_n, 1)
+    n_inv = pow(N, -1, q)
+    l1 = api.mul(api.div(zh, api.sub(zeta, 1)), n_inv)
+
+    # PI = sum_i w_i * L_i(zeta), over [1] + publics
+    pi = 0
+    accw = 1
+    for v in [1] + list(publics):
+        li = api.mul(api.div(zh, api.sub(zeta, accw)),
+                     n_inv * accw % q)
+        pi = api.add(pi, api.mul(li, v))
+        accw = accw * w % q
+
+    # BSB22 contributions (mirrors _h2f_bsb22 mimc mode, limb coords)
+    for i, cci in enumerate(vk.commitment_rows):
+        h = MiMCGadget(api, "bn254_fr")
+        h.write(int.from_bytes(b"BSB22-Plonk", "big"))
+        h.write(*bsb22[i][0].limbs, *bsb22[i][1].limbs)
+        hashed = truncate(h.sum())
+        wi = pow(w, vk.nb_public + cci, q)
+        li = api.mul(api.div(zh, api.sub(zeta, wi)), n_inv * wi % q)
+        pi = api.add(pi, api.mul(li, hashed))
+
+    lin_z, lz, rz, oz, s1z, s2z = claimed[:6]
+    qcpz = claimed[6:]
+    alpha2 = api.mul(alpha, alpha)
+    a2l1 = api.mul(alpha2, l1)
+
+    # constLin check (backend verify: -(pi - a2l1 + t))
+    t1 = api.add(lz, api.mul(beta, s1z), gamma)
+    t2 = api.add(rz, api.mul(beta, s2z), gamma)
+    t = api.mul(api.mul(t1, t2), api.add(oz, gamma))
+    t = api.mul(api.mul(t, alpha), zu)
+    const_lin = api.sub(api.sub(a2l1, pi), t)
+    api.assert_is_equal(lin_z, const_lin)
+
+    # -- linearized digest (mirrors _lin_digest_prover) ----------------------
+    _s1 = api.mul(api.mul(api.mul(alpha, beta), api.mul(t1, t2)), zu)
+    bz = api.mul(beta, zeta)
+    idp = api.add(lz, bz, gamma)
+    idp = api.mul(idp, api.add(rz, api.mul(bz, u), gamma))
+    idp = api.mul(idp, api.add(oz, api.mul(bz, u * u % q), gamma))
+    coeff_z = api.sub(a2l1, api.mul(alpha, idp))
+
+    zp2 = api.mul(zeta_n, api.mul(zeta, zeta))      # zeta^(N+2)
+    rl = api.mul(lz, rz)
+    zh_neg = api.neg(zh)
+    zh_zp2 = api.mul(zh_neg, zp2)
+    zh_zp4 = api.mul(zh_zp2, zp2)
+
+    def msm_mixed(terms):
+        """sum s_i * P_i: P constant tuple or variable emulated point;
+        native scalars. Folds with add_distinct."""
+        const_ps, const_ss, acc = [], [], None
+        for P, s in terms:
+            if isinstance(P, tuple) and isinstance(P[0], int):
+                const_ps.append(P)
+                const_ss.append(s)
+            else:
+                r = g1.scalar_mul_var_base(P, s, nbits)
+                acc = r if acc is None else g1.add_distinct(acc, r)
+        if const_ps:
+            r = g1.msm_const_bases(const_ps, const_ss, nbits)
+            acc = r if acc is None else g1.add_distinct(acc, r)
+        return acc
+
+    lin_pts = list(bsb22) + [vk.ql_c, vk.qr_c, vk.qm_c, vk.qo_c,
+                             vk.qk_c, vk.s_comm[2], c_z, h0, h1, h2]
+    lin_scs = qcpz + [lz, rz, rl, oz, 1, _s1, coeff_z,
+                      zh_neg, zh_zp2, zh_zp4]
+    lin_digest = msm_mixed(list(zip(lin_pts, lin_scs)))
+
+    # -- batched opening fold (mirrors _fold_challenge mimc mode) ------------
+    digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]] \
+        + [g1.from_const(P) for P in vk.qcp_c]
+    fh = MiMCGadget(api, "bn254_fr")
+    fh.write(int.from_bytes(b"fold", "big"))
+    for d in digests:
+        fh.write(*d[0].limbs, *d[1].limbs)
+    fh.write(zeta)
+    fh.write(zu)
+    for v in claimed:
+        fh.write(v)
+    fold_ch = truncate(fh.sum())
+
+    # folded commitment and value: sum ch^i * (D_i, v_i)
+    chp = 1
+    fold_terms = []
+    folded_v = 0
+    for i, (d, v) in enumerate(zip(digests, claimed)):
+        if i == 0:
+            folded_v = api.add(folded_v, v)
+        else:
+            chp = api.mul(chp, fold_ch)
+            fold_terms.append((d, chp))
+            folded_v = api.add(folded_v, api.mul(chp, v))
+    folded_c = msm_mixed(fold_terms)
+    folded_c = g1.add_distinct(folded_c, digests[0])
+
+    # -- the two KZG openings, folded into ONE pairing product ---------------
+    # opening 1: folded_c opens to folded_v at zeta with batched_h
+    # opening 2: c_z opens to zu at w*zeta with z_shift_h
+    # fold with rho: e(F1 + rho*F2, G2) * e(-(W1 + rho*W2), tau G2) == 1
+    # where Fi = Ci - vi*G1 + zi*Wi
+    rh = MiMCGadget(api, "bn254_fr")
+    rh.write(int.from_bytes(b"rho", "big"))
+    for P in (folded_c, batched_h, c_z, z_shift_h):
+        rh.write(*P[0].limbs, *P[1].limbs)
+    rh.write(zeta, zu)
+    rho = truncate(rh.sum())
+
+    g1_gen = tuple(vk.curve.g1)
+    wz = api.mul(zeta, w)
+
+    # F = folded_c - folded_v*G + zeta*W1
+    #     + rho*c_z - (rho*zu)*G + (rho*w*zeta)*W2
+    F = msm_mixed([
+        (g1_gen, api.neg(api.add(folded_v, api.mul(rho, zu)))),
+        (batched_h, zeta),
+        (c_z, rho),
+        (z_shift_h, api.mul(rho, wz)),
+    ])
+    F = g1.add_distinct(F, folded_c)
+
+    W = g1.scalar_mul_var_base(z_shift_h, rho, nbits)
+    W = g1.add_distinct(W, batched_h)
+    negW = g1.neg(W)
+
+    pr.pairing_check([(F, FixedG2(tuple(vk.g2_gen))),
+                      (negW, FixedG2(tuple(vk.g2_tau)))])

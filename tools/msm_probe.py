@@ -43,19 +43,23 @@ def kernel_only(ff, points, digits, W):
     steps = nn // ck
     sub = ck // G
     sd = bk._lane_digits(digits, inf, G, T, ck)
+    Lp = L // 2
+    pcol, onecol, p2col = f.consts3()
+    pone = (onecol[0::2] | (onecol[1::2].astype(np.uint32) << 16))
     cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((Lp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bkout = pl.pallas_call(
-        bk._accumulate_kernel(f, W, G, L, T, bk.curve_b3(ff.p.name)),
-        out_shape=jax.ShapeDtypeStruct((3, L, B, T), jnp.uint32),
+        bk._accumulate_kernel(f, W, G, L, T),
+        out_shape=jax.ShapeDtypeStruct((3, Lp, B, T), jnp.uint32),
         grid=(steps,),
-        in_specs=[cspec, cspec,
+        in_specs=[cspec, cspec, cspec, cspec, pspec,
                   pl.BlockSpec((L, ck), lambda i: (0, i), memory_space=pltpu.VMEM),
                   pl.BlockSpec((L, ck), lambda i: (0, i), memory_space=pltpu.VMEM),
                   pl.BlockSpec((sub, T), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((3, L, B, T), lambda i: (0, 0, 0, 0),
+        out_specs=pl.BlockSpec((3, Lp, B, T), lambda i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=False,
-    )(*f.consts(), x.T, y.T, sd)
+    )(pcol, onecol, p2col, f.mont_col(bk.curve_b3(ff.p.name)), pone, x.T, y.T, sd)
     return bkout.sum(dtype=jnp.uint32)
 
 digits = bk.signed_digits(scalars, nbits, bk.C_BITS)
