@@ -119,15 +119,17 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
 
     recursion=True: MiMC over the 2-chain outer field, truncated to
     rbits-8 bits, so the in-circuit verifier recomputes it natively
-    (std/recursion/groth16 commitment support)."""
+    (std/recursion/groth16 commitment support). recursion="self":
+    MiMC over the curve's own fr with limb-split coordinates
+    (emulated self-recursion)."""
     if recursion:
         from gnark_tpu.backend.transcript import outer_mimc_field
         from gnark_tpu.std.hash.mimc import MiMC
-        h = MiMC(outer_mimc_field(curve))
+        h = MiMC(outer_mimc_field(curve, recursion))
         from gnark_tpu.backend.transcript import mimc_point_writes
         h.write(int.from_bytes(b"BSB22-Groth16", "big"))
         h.write(*mimc_point_writes(
-            curve, None if point is host.INF else point))
+            curve, None if point is host.INF else point, recursion))
         mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
         return h.sum() & mask
     import hashlib

@@ -285,11 +285,11 @@ from gnark_tpu.backend.transcript import outer_mimc_field as \
     _outer_mimc_field
 
 
-def _new_transcript(vk: PlonkVerifyingKey, recursion: bool = False):
+def _new_transcript(vk: PlonkVerifyingKey, recursion=False):
     names = ["gamma", "beta", "alpha", "zeta"]
     if recursion:
         return MimcTranscript(vk.curve.fr.modulus, names,
-                              _outer_mimc_field(vk.curve))
+                              _outer_mimc_field(vk.curve, recursion))
     return Transcript(vk.curve.fr.modulus, names)
 
 
@@ -306,7 +306,7 @@ def _bind_public_data(ts: Transcript, vk: PlonkVerifyingKey, publics):
 
 
 def _fold_challenge(vk, digests, zeta, zu, claimed,
-                    recursion: bool = False) -> int:
+                    recursion=False) -> int:
     """KZG batch-fold challenge (gnark kzg.BatchOpenSinglePoint gamma).
 
     Binds the claimed evaluation values too, like gnark-crypto's
@@ -315,7 +315,7 @@ def _fold_challenge(vk, digests, zeta, zu, claimed,
     p = vk.curve.fp.modulus
     if recursion:
         ts = MimcTranscript(vk.curve.fr.modulus, ["fold"],
-                            _outer_mimc_field(vk.curve))
+                            _outer_mimc_field(vk.curve, recursion))
         for d in digests:
             ts.bind("fold", ts.point_bytes(d, p))
         ts.bind("fold", ts.fe_bytes(zeta))
@@ -338,16 +338,16 @@ def _fold_challenge(vk, digests, zeta, zu, claimed,
 # Prove
 # ---------------------------------------------------------------------------
 
-def _h2f_bsb22(curve, point, recursion: bool = False) -> int:
+def _h2f_bsb22(curve, point, recursion=False) -> int:
     """Commitment challenge from a pi2 commitment (reference uses
     hash_to_field with dst "BSB22-Plonk"; byte convention is ours)."""
     if recursion:
         from gnark_tpu.backend.transcript import mimc_point_writes
         from gnark_tpu.std.hash.mimc import MiMC
-        h = MiMC(_outer_mimc_field(curve))
+        h = MiMC(_outer_mimc_field(curve, recursion))
         h.write(int.from_bytes(b"BSB22-Plonk", "big"))
         h.write(*mimc_point_writes(
-            curve, None if point is host.INF else point))
+            curve, None if point is host.INF else point, recursion))
         mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
         return h.sum() & mask
     h = hashlib.sha256(b"BSB22-Plonk")

@@ -130,12 +130,12 @@ class MimcTranscript:
         return v
 
 
-def mimc_point_writes(curve, point) -> list:
+def mimc_point_writes(curve, point, mode=True) -> list:
     """Field elements a recursion-friendly hash-to-field writes for an
     affine point (None/INF -> zero coords), with the same coordinate
     limb-splitting rule as MimcTranscript.coord_fes."""
     from gnark_tpu import fields
-    mimc_q = fields.FIELDS[outer_mimc_field(curve)].modulus
+    mimc_q = fields.FIELDS[outer_mimc_field(curve, mode)].modulus
     p_mod = curve.fp.modulus
     coords = [0, 0] if point is None else [point[0], point[1]]
 
@@ -148,13 +148,18 @@ def mimc_point_writes(curve, point) -> list:
     return [v for c in coords for v in fes(c)]
 
 
-def outer_mimc_field(curve) -> str:
+def outer_mimc_field(curve, mode=True) -> str:
     """Field-registry name of the field recursion-friendly transcripts
-    hash over: the curve's BASE field for a 2-chain (outer scalar
-    field == inner fp, e.g. bls12-377 inside bw6-761), else the
-    curve's own SCALAR field (emulated self-recursion, e.g. bn254
-    inside a bn254-fr circuit — coordinates then bind as emulated
-    limbs, see MimcTranscript.coord_fes)."""
+    hash over, per recursion mode:
+
+    mode True ("outer"): the curve's BASE field — the natural choice
+      when the outer circuit's scalar field equals the inner fp, i.e.
+      a 2-chain (bls12-377 in bw6-761) or a 2-cycle (bn254 in
+      grumpkin); coordinates bind directly, one element each.
+    mode "self": the curve's own SCALAR field — emulated
+      self-recursion (e.g. bn254 inside a bn254-fr circuit);
+      coordinates then bind as emulated limbs, see
+      MimcTranscript.coord_fes."""
     from gnark_tpu import fields
     from gnark_tpu.std.hash.mimc import PARAMS
 
@@ -163,7 +168,10 @@ def outer_mimc_field(curve) -> str:
             if f.modulus == modulus and n in PARAMS:
                 return n
         return None
-    n = named(curve.fp.modulus) or named(curve.fr.modulus)
+    if mode == "self":
+        n = named(curve.fr.modulus)
+    else:
+        n = named(curve.fp.modulus) or named(curve.fr.modulus)
     if n is None:
-        raise ValueError(f"no MiMC params for {curve.name} fp or fr")
+        raise ValueError(f"no MiMC params for {curve.name} ({mode})")
     return n

@@ -546,7 +546,8 @@ def assert_proof_plonk_bn254(api, vk, pv, publics):
     lin_digest = msm_mixed(list(zip(lin_pts, lin_scs)))
 
     # -- batched opening fold (mirrors _fold_challenge mimc mode) ------------
-    digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]] \
+    digests = [lin_digest, c_l, c_r, c_o,
+               g1.from_const(vk.s_comm[0]), g1.from_const(vk.s_comm[1])] \
         + [g1.from_const(P) for P in vk.qcp_c]
     fh = MiMCGadget(api, "bn254_fr")
     fh.write(int.from_bytes(b"fold", "big"))
