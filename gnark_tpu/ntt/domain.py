@@ -110,6 +110,7 @@ class Domain:
         self._rev = jnp.asarray(_bit_reverse_perm(n))
         self._tw_fwd = self._stage_twiddles(self.omega)
         self._tw_inv = self._stage_twiddles(self.omega_inv)
+        self._fourstep: dict = {}
         # coset scale vectors g^i / g^-i, fused with 1 and n^-1 where used
         self._coset = jnp.asarray(ff.encode(
             [pow(self.coset_gen, i, p) for i in range(n)]))
@@ -131,19 +132,50 @@ class Domain:
 
     # ------------------------------------------------------------------
 
+    def _plan(self, inverse: bool):
+        """Four-step fused-stage plan for large domains (ntt/fourstep):
+        two in-VMEM row-FFT passes + one twiddle mul instead of log2(n)
+        HBM passes + a 2^k-row bit-reverse gather. Gated by size (env
+        GNARK_TPU_NTT_FOURSTEP_LOG, default 2^14) and the pallas
+        config switch."""
+        import os
+
+        from gnark_tpu import config
+        thresh = 1 << int(os.environ.get(
+            "GNARK_TPU_NTT_FOURSTEP_LOG", "14"))
+        if self.n < max(thresh, 4) or not config.use_pallas():
+            return None
+        if inverse not in self._fourstep:
+            from gnark_tpu.ntt.fourstep import FourStep
+            w = self.omega_inv if inverse else self.omega
+            # plans may be built lazily while TRACING a caller's jit:
+            # force their device constants to materialize eagerly so
+            # the cached plan is reusable across traces (a traced
+            # constant would leak, jax UnexpectedTracerError)
+            with jax.ensure_compile_time_eval():
+                self._fourstep[inverse] = FourStep(self.ff, self.n, w)
+        return self._fourstep[inverse]
+
     def fft(self, x, coset: bool = False):
         """Coefficients -> evaluations on (coset of) the domain."""
         if self.n == 1:
             return x
         if coset:
             x = _scale(self.ff, x, self._coset)
+        plan = self._plan(False)
+        if plan is not None:
+            return plan(x)
         return _ntt_kernel(self.ff, x, self._rev, self._tw_fwd)
 
     def ifft(self, y, coset: bool = False):
         """Evaluations on (coset of) the domain -> coefficients."""
         if self.n == 1:
             return y
-        x = _ntt_kernel(self.ff, y, self._rev, self._tw_inv)
+        plan = self._plan(True)
+        if plan is not None:
+            x = plan(y)
+        else:
+            x = _ntt_kernel(self.ff, y, self._rev, self._tw_inv)
         if coset:
             return _scale(self.ff, x, self._coset_inv_ninv)
         return _scale(self.ff, x, self._ninv)

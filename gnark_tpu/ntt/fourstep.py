@@ -101,8 +101,8 @@ def _row_fft_kernel(f: TFF, L: int, S: int, R: int, k: int):
             m = S >> s
             half = m >> 1
             first = (pos % m) < half
-            u = pltpu.roll(x, -half, 2)        # partner for top slots
-            v = pltpu.roll(x, half, 2)         # partner for bottom
+            u = pltpu.roll(x, S - half, 2)     # i+half -> i (cyclic)
+            v = pltpu.roll(x, half, 2)         # i-half -> i
             pre = jnp.where(first, fb.add2p(x, u), fb.sub2p(v, x))
             x = fb.mul_lazy(pre, tws[s])
         out[:] = fb.canon(x)
@@ -118,7 +118,8 @@ def _row_fft(ff: FF, xt, tws):
     L, n1, S = xt.shape
     k = S.bit_length() - 1
     R = min(_ROWS, n1)
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, 1, S), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _row_fft_kernel(f, L, S, R, k),
         out_shape=jax.ShapeDtypeStruct((L, n1, S), jnp.uint32),
@@ -131,7 +132,7 @@ def _row_fft(ff: FF, xt, tws):
         out_specs=pl.BlockSpec((L, R, S), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(*f.consts3(), tws, xt)
+    )(*_consts3_bcast(f, S), tws, xt)
 
 
 class FourStep:
@@ -204,7 +205,8 @@ def _mid_mul(ff: FF, a, b):
         fb = f.bind(pcol[:], onecol[:], p2col[:])
         out[:] = fb.canon(fb.mul_lazy(xr[:], yr[:]))
 
-    cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((L, 1, S), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((L, R, S), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -214,4 +216,4 @@ def _mid_mul(ff: FF, a, b):
         in_specs=[cspec, cspec, cspec, bspec, bspec],
         out_specs=bspec,
         interpret=_interpret(),
-    )(*f.consts3(), a, b)
+    )(*_consts3_bcast(f, S), a, b)

@@ -66,3 +66,25 @@ def test_babybear_domain():
     got = ff.decode(np.asarray(dom.fft(np.asarray(ff.encode(coeffs)))))
     want = naive_dft(coeffs, dom.omega, p)
     assert [int(g) for g in got] == want
+
+
+@pytest.mark.parametrize("n", [1 << 6, 1 << 7])
+def test_fourstep_matches_reference_path(n):
+    """Four-step fused-stage NTT (ntt/fourstep.py) == the per-stage
+    reference path, forward and inverse, even and odd log2(n)."""
+    import jax.numpy as jnp
+
+    from gnark_tpu.ntt.domain import _ntt_kernel
+    from gnark_tpu.ntt.fourstep import FourStep
+    ff = get_ff("bn254_fr")
+    p = ff.p.modulus
+    dom = Domain(ff, n)
+    rng = random.Random(7)
+    vals = [rng.randrange(p) for _ in range(n)]
+    v = jnp.asarray(ff.encode(vals))
+    ref = np.asarray(_ntt_kernel(ff, v, dom._rev, dom._tw_fwd))
+    got = np.asarray(FourStep(ff, n, dom.omega)(v))
+    assert np.array_equal(ref, got)
+    refi = np.asarray(_ntt_kernel(ff, v, dom._rev, dom._tw_inv))
+    goti = np.asarray(FourStep(ff, n, dom.omega_inv)(v))
+    assert np.array_equal(refi, goti)
