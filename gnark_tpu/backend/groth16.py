@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import secrets
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,7 +38,6 @@ from gnark_tpu.ec.weierstrass import jac_to_affine
 from gnark_tpu.ff import FF, get_ff
 from gnark_tpu.msm import msm
 from gnark_tpu.msm.fixed_base import batch_scalar_mul
-from gnark_tpu.ntt import Domain
 from gnark_tpu.pairing import get_pairing
 
 
@@ -333,6 +333,35 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
     return pk, vk
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _compute_h_fn(field_name: str, N: int):
+    """Fused computeH (prove.go:346-389): 3 iFFT + 3 coset-FFT +
+    pointwise (a*b - c)*den + coset-iFFT + Montgomery-decode, ONE jit
+    -> one device dispatch (each eager op over the axon tunnel costs
+    ~0.3s of dispatch latency)."""
+    from gnark_tpu.ntt import get_domain
+    ffr = get_ff(field_name)
+    dom = get_domain(ffr, N)
+
+    @jax.jit
+    def f(av, bv, cv, den_m):
+        ac = dom.fft(dom.ifft(av), coset=True)
+        bc = dom.fft(dom.ifft(bv), coset=True)
+        cc = dom.fft(dom.ifft(cv), coset=True)
+        hval = ffr.mul(ffr.sub(ffr.mul(ac, bc), cc), den_m)
+        h = dom.ifft(hval, coset=True)
+        return ffr.from_mont(h)         # plain limbs for MSM digits
+    return f
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _to_affine_jit(f, P):
+    return jac_to_affine(f, P)
+
+
 def _g1_base(ffp, curve):
     return (jnp.asarray(ffp.encode(curve.g1[0])),
             jnp.asarray(ffp.encode(curve.g1[1])))
@@ -348,7 +377,13 @@ def _g2_base(ff2, curve):
 # ---------------------------------------------------------------------------
 
 def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
-          hint_overrides=None, recursion_friendly: bool = False):
+          hint_overrides=None, recursion_friendly: bool = False,
+          mesh=None, mesh_axis: str = "pts"):
+    """mesh: optional jax.sharding.Mesh — every prover MSM is then
+    sharded across `mesh_axis` (parallel/sharded.msm_sharded: per-chip
+    Pippenger partials folded after an all-gather), the TPU-native
+    analog of the reference's per-MSM NbTasks splitting
+    (prove.go:187-305) scaled across chips."""
     curve = pk.curve
     q = curve.fr.modulus
     rnd = rng.randrange if rng is not None else \
@@ -375,14 +410,26 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
 
         overrides["bsb22"] = _bsb22_override
 
+    import time as _time
+
+    from gnark_tpu.logger import get_logger
+    _log = get_logger()
+    _t0 = _time.perf_counter()
+
+    def _mark(what):
+        nonlocal _t0
+        t = _time.perf_counter()
+        _log.debug("prove phase %-12s %.3fs", what, t - _t0)
+        _t0 = t
+
     sol = solve_auto(cs, public, secret, hint_overrides=overrides)
+    _mark("solve")
     N = pk.domain_n
     ffr = get_ff(curve.fr.name)
     ffp = get_ff(curve.fp.name)
     ff2 = _g2_field(curve)
 
     # --- computeH on device (prove.go:346-389) ---
-    dom = Domain(ffr, N)
     pad = N - len(sol.a)
     abc_u64 = getattr(sol, "abc_u64", None)
     if abc_u64 is not None and len(sol.a) == abc_u64.shape[1]:
@@ -395,14 +442,11 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
         av = jnp.asarray(ffr.encode(sol.a + [0] * pad))
         bv = jnp.asarray(ffr.encode(sol.b + [0] * pad))
         cv = jnp.asarray(ffr.encode(sol.c + [0] * pad))
-    ac = dom.fft(dom.ifft(av), coset=True)
-    bc = dom.fft(dom.ifft(bv), coset=True)
-    cc = dom.fft(dom.ifft(cv), coset=True)
     den = pow(pow(curve.fr.generator, N, q) - 1, -1, q)
     den_m = jnp.asarray(ffr.encode([den]))
-    hval = ffr.mul(ffr.sub(ffr.mul(ac, bc), cc), den_m)
-    h = dom.ifft(hval, coset=True)
-    h_plain = ffr.from_mont(h)          # plain limbs for MSM digits
+    h_plain = _compute_h_fn(curve.fr.name, N)(av, bv, cv, den_m)
+    h_plain.block_until_ready()
+    _mark("computeH")
 
     # --- MSMs (prove.go:187-305) ---
     vals_u64 = getattr(sol, "values_u64", None)
@@ -411,20 +455,49 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     else:
         wire_limbs = _scalar_limbs(ffr, sol.values)
     nbits = curve.fr.bits
-    ar_j = msm(ffp, pk.g1_a, wire_limbs, nbits)
-    bs1_j = msm(ffp, pk.g1_b, wire_limbs, nbits)
-    bs2_j = msm(ff2, pk.g2_b, wire_limbs, nbits)
+
+    if mesh is None:
+        _msm = msm
+    else:
+        from gnark_tpu.parallel import msm_sharded
+
+        def _msm(f, pts, sc, nb):
+            # pad to a multiple of the mesh axis with infinity points
+            x_, y_, inf_ = pts
+            ndev = mesh.shape[mesh_axis]
+            padn = -x_.shape[0] % ndev
+            if padn:
+                x_ = jnp.concatenate(
+                    [x_, jnp.zeros((padn,) + x_.shape[1:], x_.dtype)])
+                y_ = jnp.concatenate(
+                    [y_, jnp.zeros((padn,) + y_.shape[1:], y_.dtype)])
+                inf_ = jnp.concatenate(
+                    [inf_, jnp.ones((padn,), bool)])
+                sc = jnp.concatenate(
+                    [sc, jnp.zeros((padn, sc.shape[1]), sc.dtype)])
+            return msm_sharded(f, (x_, y_, inf_), sc, nb, mesh,
+                               axis=mesh_axis)
+
+    ar_j = _msm(ffp, pk.g1_a, wire_limbs, nbits)
+    bs1_j = _msm(ffp, pk.g1_b, wire_limbs, nbits)
+    bs2_j = _msm(ff2, pk.g2_b, wire_limbs, nbits)
     # deg(H) = n-2: last Z point unused (prove.go:221 sizeH)
     z_pts = tuple(a[: N - 1] for a in pk.g1_z)
-    krs2_j = msm(ffp, z_pts, h_plain[: N - 1], nbits)
+    krs2_j = _msm(ffp, z_pts, h_plain[: N - 1], nbits)
     priv_limbs = wire_limbs[cs.nb_public:]
-    krs_j = msm(ffp, pk.g1_k, priv_limbs, nbits)
+    krs_j = _msm(ffp, pk.g1_k, priv_limbs, nbits)
+    jax.block_until_ready((ar_j, bs1_j, bs2_j, krs2_j, krs_j))
+    _mark("msm x5")
 
-    ar_m = _decode_affine(ffp, jac_to_affine(ffp, _tup1(ar_j)))[0]
-    bs1_m = _decode_affine(ffp, jac_to_affine(ffp, _tup1(bs1_j)))[0]
-    bs2_m = _decode_affine(ff2, jac_to_affine(ff2, _tup1(bs2_j)))[0]
-    krs2_m = _decode_affine(ffp, jac_to_affine(ffp, _tup1(krs2_j)))[0]
-    krs_m = _decode_affine(ffp, jac_to_affine(ffp, _tup1(krs_j)))[0]
+    # ONE batched jacobian->affine for the four G1 results plus one
+    # for G2 (each eager conversion is a multi-second dispatch chain
+    # over the axon tunnel; batching makes it 2 jitted calls)
+    g1_batch = tuple(jnp.stack([a, b, c, d])
+                     for a, b, c, d in zip(ar_j, bs1_j, krs2_j, krs_j))
+    g1_aff = _decode_affine(ffp, _to_affine_jit(ffp, g1_batch))
+    ar_m, bs1_m, krs2_m, krs_m = g1_aff
+    bs2_m = _decode_affine(ff2, _to_affine_jit(ff2, _tup1(bs2_j)))[0]
+    _mark("to_affine")
 
     # --- host combination (tiny) ---
     f2h = curve.host_g2_field

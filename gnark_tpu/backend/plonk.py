@@ -160,8 +160,9 @@ class PlonkProof:
 
 class _Ntt:
     def __init__(self, field, N):
+        from gnark_tpu.ntt import get_domain
         self.ff = get_ff(field.name)
-        self.dom = Domain(self.ff, N)
+        self.dom = get_domain(self.ff, N)
         self.q = field.modulus
         self.N = N
 

@@ -242,8 +242,15 @@ def msm(f, points, scalars, nbits: int, c: int | None = None,
         c = c or c_auto
         groups = groups or g_auto
     G = min(groups, n_class)
-    # pad with infinity points / zero scalars
-    pad = n_class - n
+    return _msm_scan_jit(f, (x, y, inf, scalars), nbits, c, G, n_class)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+def _msm_scan_jit(f, arrs, nbits: int, c: int, G: int, n_class: int):
+    """Padding + digit decomposition + scan kernel under ONE jit (each
+    eager op over the axon tunnel is a ~0.3s dispatch)."""
+    x, y, inf, scalars = arrs
+    pad = n_class - x.shape[0]
     if pad:
         x = jnp.concatenate([x, jnp.broadcast_to(f.zeros(()), (pad,) + x.shape[1:])])
         y = jnp.concatenate([y, jnp.broadcast_to(f.zeros(()), (pad,) + y.shape[1:])])

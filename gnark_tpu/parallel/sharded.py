@@ -24,7 +24,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 shard_map = __import__('jax').shard_map
 
 from gnark_tpu.ec.weierstrass import jac_add, jac_inf
-from gnark_tpu.msm.pippenger import _msm_kernel, _pick_params, window_digits
+from gnark_tpu.msm.pippenger import _pick_params
 
 
 def msm_sharded(f, points, scalars, nbits: int, mesh: Mesh,
@@ -44,7 +44,6 @@ def msm_sharded(f, points, scalars, nbits: int, mesh: Mesh,
         c_auto, g_auto = _pick_params(n_local, nbits)
         c = c or c_auto
         groups = groups or min(g_auto, max(n_local, 1))
-    digits = window_digits(scalars, nbits, c)
 
     # check_vma=False: the Pippenger scan carries start as unvarying
     # zeros and become device-varying, which the varying-axes checker
@@ -54,11 +53,14 @@ def msm_sharded(f, points, scalars, nbits: int, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis), check_vma=False)
-    def local(xs, ys, infs, dg):
-        R = _msm_kernel(f, (xs, ys, infs), dg, nbits, c, groups)
+    def local(xs, ys, infs, sc):
+        # auto-routed per shard: VMEM bucket mega-kernel on TPU, the
+        # portable scan kernel elsewhere (msm/pippenger.msm routing)
+        from gnark_tpu.msm import msm as _msm_auto
+        R = _msm_auto(f, (xs, ys, infs), sc, nbits, c=c, groups=groups)
         return tuple(a[None] for a in R)   # (1, ...) per device
 
-    partials = local(x, y, inf, digits)    # (ndev, ...) stacked
+    partials = local(x, y, inf, scalars)   # (ndev, ...) stacked
     # fold the ndev partials (replicated, tiny)
     R = tuple(a[0] for a in partials)
     for i in range(1, ndev):

@@ -147,3 +147,41 @@ def test_msm_sharded_2d_host_chip_mesh():
     a2 = jac_to_affine(ffp, tuple(v[None] for v in R2))
     for u, v in zip(a1, a2):
         assert np.array_equal(np.asarray(u), np.asarray(v))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("GNARK_TPU_HEAVY_TESTS"),
+    reason="compiles the full Groth16 kernel set under the 8-device "
+           "topology (~tens of minutes on CPU); set "
+           "GNARK_TPU_HEAVY_TESTS=1 to run")
+def test_groth16_prove_sharded(mesh8):
+    """FULL sharded Groth16 prove step: groth16.prove(mesh=...) routes
+    all 5 prover MSMs (incl. the G2 one) through msm_sharded over the
+    8-device mesh; the proof verifies and equals the single-device
+    prover's bit-for-bit under the same randomness."""
+    import random
+
+    from gnark_tpu import fields
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.frontend import Circuit, Public, Secret, \
+        compile_circuit, witness
+
+    class _Cubic(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            x3 = api.mul(self.x, self.x, self.x)
+            api.assert_is_equal(api.add(x3, self.x, 5), self.y)
+
+    cs = compile_circuit(_Cubic(), fields.BN254_FR)
+    pk, vk = groth16.setup(cs, "bn254", rng=random.Random(5))
+    pub, sec = witness(_Cubic(x=3, y=35), cs)
+    p_sharded = groth16.prove(cs, pk, pub, sec, rng=random.Random(6),
+                              mesh=mesh8, mesh_axis="shard")
+    assert groth16.verify(p_sharded, vk, pub)
+    p_single = groth16.prove(cs, pk, pub, sec, rng=random.Random(6))
+    assert p_sharded.ar == p_single.ar
+    assert p_sharded.bs == p_single.bs
+    assert p_sharded.krs == p_single.krs

@@ -60,35 +60,43 @@ def main():
     if impl == "bucket":
         from gnark_tpu.msm import bucket_kernel as bk
 
-        def one(s):
-            return bk.msm_bucket(ffp, (x, y, inf), s, nbits)
+        def one(pts, s):
+            return bk.msm_bucket(ffp, pts, s, nbits)
+    elif impl == "chunked":
+        from gnark_tpu.msm import bucket_kernel as bk
+
+        def one(pts, s):
+            return bk.msm_bucket_chunked(ffp, pts, s, nbits)
     else:
         from gnark_tpu.msm import pippenger as pip
 
-        def one(s):
-            return pip.msm(ffp, (x, y, inf), s, nbits)
+        def one(pts, s):
+            return pip.msm(ffp, pts, s, nbits)
 
     def chain(K):
+        # points/scalars as ARGUMENTS, not closure constants: closed-
+        # over device arrays embed in the compiled module (HTTP 413 on
+        # the axon compile endpoint at 2^22) and defeat cache keying
         @jax.jit
-        def f(s):
+        def f(xa, ya, infa, s):
             def body(i, carry):
                 s_, acc = carry
-                r = one(s_)
+                r = one((xa, ya, infa), s_)
                 # rotate scalars by one row -> next iter differs;
                 # fold r into acc so nothing is dead
                 s2 = jnp.roll(s_, 1, axis=0)
                 acc = tuple(a ^ b for a, b in zip(acc, r))
                 return (s2, acc)
-            z = tuple(jnp.zeros((x.shape[1],), jnp.uint32)
+            z = tuple(jnp.zeros((xa.shape[1],), jnp.uint32)
                       for _ in range(3))
             _, acc = jax.lax.fori_loop(0, K, body, (s, z))
             return acc
-        return f
+        return lambda s: f(x, y, inf, s)
 
     # exact correctness check: point i is ((i % 256) + 1) * g1, so the
     # MSM equals (sum k_i * m_i mod r) * g1 — one host scalar mul
     from gnark_tpu.ec.weierstrass import jac_to_affine
-    r1 = one(scalars)
+    r1 = one((x, y, inf), scalars)
     rx, ry, rinf = jac_to_affine(ffp, r1)
     got = (int(ffp.decode(np.asarray(rx))), int(ffp.decode(np.asarray(ry))))
     total = sum(k * ((i % 256) + 1) for i, k in enumerate(ks)) \
