@@ -39,6 +39,24 @@ def _tff(name: str) -> TFF:
     return TFF(FIELDS[name])
 
 
+@functools.lru_cache(maxsize=None)
+def _tff2(name: str, nr: int):
+    from gnark_tpu.fields import FIELDS
+    from gnark_tpu.ff.pallas_fp2 import TFF2
+    return TFF2(TFF(FIELDS[name]), nr)
+
+
+def _tff_for(ff):
+    """TFF for FF, TFF2 for FF2 — plus the flat row count and the
+    (L, 1)/(2L, 1) b3 constant column builder."""
+    from gnark_tpu.ec.fp2 import FF2
+    if isinstance(ff, FF2):
+        f = _tff2(ff.p.name, ff._nr_small)
+        return f, f.nrows, (lambda b3: f.mont_col2(*b3))
+    f = _tff(ff.p.name)
+    return f, ff.n, f.mont_col
+
+
 def _jac_double_t(f: TFF, X1, Y1, Z1):
     A = f.square(X1)
     B = f.square(Y1)
@@ -295,13 +313,13 @@ def jac_add_mixed_p(ff: FF, P, A):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def proj_add_p(ff: FF, b3: int, P, Q):
+def proj_add_p(ff, b3, P, Q):
     """Batched complete projective add (RC15 Alg 7, a=0).
 
-    P, Q: (X, Y, Z) arrays of shape (n, L); b3 = 3*b mod p (int).
-    Inputs may be <= 2p representatives; outputs are canonical."""
-    f = _tff(ff.p.name)
-    L = ff.n
+    P, Q: (X, Y, Z) arrays of shape (n, L) — for FF2 (G2 twists) the
+    rows are FLAT stacked c0|c1 limbs (L = 2*ff.n) and b3 = 3*b2 as an
+    int pair. Inputs may be <= 2p representatives; outputs canonical."""
+    f, L, mkb3 = _tff_for(ff)
     n = P[0].shape[0]
     arrs, np_ = _pad_to_tile(list(P) + list(Q), n)
 
@@ -320,15 +338,14 @@ def proj_add_p(ff: FF, b3: int, P, Q):
         in_specs=[_const_spec(L)] * 4 + [_spec(L)] * 6,
         out_specs=[_spec(L)] * 3,
         interpret=_interpret(),
-    )(*f.consts3(), f.mont_col(b3), *arrs)
+    )(*f.consts3(), mkb3(b3), *arrs)
     return tuple(a[:n] for a in out)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
-def proj_double_p(ff: FF, b3: int, P):
+def proj_double_p(ff, b3, P):
     """Batched complete projective double (RC15 Alg 9, a=0)."""
-    f = _tff(ff.p.name)
-    L = ff.n
+    f, L, mkb3 = _tff_for(ff)
     n = P[0].shape[0]
     arrs, np_ = _pad_to_tile(list(P), n)
 
@@ -345,7 +362,7 @@ def proj_double_p(ff: FF, b3: int, P):
         in_specs=[_const_spec(L)] * 4 + [_spec(L)] * 3,
         out_specs=[_spec(L)] * 3,
         interpret=_interpret(),
-    )(*f.consts3(), f.mont_col(b3), *arrs)
+    )(*f.consts3(), mkb3(b3), *arrs)
     return tuple(a[:n] for a in out)
 
 

@@ -221,6 +221,17 @@ class TFF:
         acc = self._carry(self._cios([(a1, b1), (a2, b2)]), self.n + 1)
         return self._cond_sub_c(acc, self.P2_col)
 
+    def sopk(self, prods):
+        """sum_k a_k*b_k (Montgomery) for k <= 4 products, inputs
+        <= 2p, result <= 2p (bound: out < (0.81k + 1)p needs two 2p
+        subtracts from k = 3)."""
+        assert 1 <= len(prods) <= 4
+        acc = self._carry(self._cios(list(prods)), self.n + 1)
+        acc = self._cond_sub_c(acc, self.P2_col)
+        if len(prods) >= 3:
+            acc = self._cond_sub_c(acc, self.P2_col)
+        return acc
+
     def add2p(self, a, b):
         """a + b for a, b <= 2p; result <= 2p."""
         s = self._carry(a + b, self.n + 1)

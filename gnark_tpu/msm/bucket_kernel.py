@@ -41,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 from gnark_tpu.fields import FIELDS
 from gnark_tpu.ff.mont import FF
 from gnark_tpu.ff.pallas_mont import TFF
+from gnark_tpu.ff.pallas_fp2 import TFF2
+from gnark_tpu.ec.fp2 import FF2
 from gnark_tpu.ec.pallas_ec import (_interpret, _proj_madd_t, proj_add_p,
                                     proj_double_p)
 from gnark_tpu.ec.weierstrass import proj_to_jac
@@ -65,6 +67,26 @@ def curve_b3(field_name: str):
         if c.fp.name == field_name:
             return 3 * c.b % c.fp.modulus
     return None
+
+
+@functools.lru_cache(maxsize=None)
+def curve_b3_g2(field_name: str):
+    """3*b2 as an Fp2 pair for the curve whose G2 twist lives over
+    Fp2 of `field_name` (the twists are a=0 too), or None."""
+    from gnark_tpu.ec import curves
+    for c in curves.CURVES.values():
+        if c.fp.name == field_name and c.g2_over_fp2:
+            p = c.fp.modulus
+            return (3 * c.b2[0] % p, 3 * c.b2[1] % p)
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _tff_any(name: str, nr):
+    """TFF for a prime field, TFF2 for Fp2 (nr = nonresidue)."""
+    if nr is None:
+        return TFF(FIELDS[name])
+    return TFF2(TFF(FIELDS[name]), nr)
 
 
 def _chunk(G: int) -> int:
@@ -268,22 +290,33 @@ def _msm_bucket_jit(ff: FF, arrs, nbits: int):
     return _msm_device(ff, (x, y, inf), digits, digits.shape[0])
 
 
-def _msm_device(ff: FF, points, digits, W: int):
-    """points: (x, y, inf) with n a multiple of CHUNK; digits (W, n).
+def _msm_device(ff, points, digits, W: int):
+    """points: (x, y, inf) with n a multiple of CHUNK; digits (W, n);
+    ff: FF (G1) or FF2 (G2 — coordinates flattened to (n, 2L) rows,
+    c0 limbs then c1, matching ff/pallas_fp2.TFF2's stacked layout).
 
     Returns a JACOBIAN point (the public contract); internally the
     bucket state and the whole epilogue are Renes-Costello projective
     with identity (0 : 1 : 0), converted at the very end."""
-    f = _tff(ff.p.name)
-    b3 = curve_b3(ff.p.name)
+    is_fp2 = isinstance(ff, FF2)
+    if is_fp2:
+        f = _tff_any(ff.p.name, ff._nr_small)
+        b3 = curve_b3_g2(ff.p.name)
+        L = 2 * ff.n                     # stacked c0|c1 limb rows
+    else:
+        f = _tff_any(ff.p.name, None)
+        b3 = curve_b3(ff.p.name)
+        L = ff.n
     if b3 is None:
         raise ValueError(
             f"no a=0 curve registered for base field {ff.p.name}; "
             "use msm/pippenger.msm (Jacobian scan path) instead")
-    L = ff.n
     B = BUCKETS
     G, T = _geometry(W, L)
     x, y, inf = points
+    if is_fp2:                           # (n, 2, Lb) -> (n, 2*Lb)
+        x = x.reshape(x.shape[0], L)
+        y = y.reshape(y.shape[0], L)
     n = x.shape[0]
     ck = _chunk(G)
     steps = n // ck
@@ -294,6 +327,7 @@ def _msm_device(ff: FF, points, digits, W: int):
         raise ValueError(f"odd limb count {L} unsupported (packed state)")
     Lp = L // 2
     pcol, onecol, p2col = f.consts3()
+    b3col = f.mont_col2(*b3) if is_fp2 else f.mont_col(b3)
     pone = (onecol[0::2] | (onecol[1::2].astype(np.uint32) << 16))
 
     cspec = pl.BlockSpec((L, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -313,7 +347,7 @@ def _msm_device(ff: FF, points, digits, W: int):
         out_specs=pl.BlockSpec((3, Lp, B, T), lambda i: (0, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(pcol, onecol, p2col, f.mont_col(b3), pone, x.T, y.T, sd)
+    )(pcol, onecol, p2col, b3col, pone, x.T, y.T, sd)
 
     # unpack half-words (XLA-side: reshapes are free here), then
     # lanes -> (W, G, B, L) standard layout, drop dead lanes
@@ -328,7 +362,10 @@ def _msm_device(ff: FF, points, digits, W: int):
         return proj_add_p(f_, b3, S, Q)
 
     # projective identity (0 : 1 : 0) fill for out-of-range shifts
-    ident = (jnp.zeros((), jnp.uint32), jnp.asarray(ff.one_np),
+    one_flat = (np.concatenate([ff.base.one_np,
+                                np.zeros_like(ff.base.one_np)])
+                if is_fp2 else ff.one_np)
+    ident = (jnp.zeros((), jnp.uint32), jnp.asarray(one_flat),
              jnp.zeros((), jnp.uint32))
 
     # fold group copies (suffix over G, take slot 0) — O(1) add-graph
@@ -350,9 +387,13 @@ def _msm_device(ff: FF, points, digits, W: int):
         Tw = tuple(a[W - 1 - i][None] for a in tot)
         return proj_add_p(ff, b3, R, Tw)
 
-    R0 = (ff.zeros((1,)), ff.ones((1,)), ff.zeros((1,)))
+    R0 = (jnp.zeros((1, L), jnp.uint32),
+          jnp.broadcast_to(jnp.asarray(one_flat), (1, L)),
+          jnp.zeros((1, L), jnp.uint32))
     R0 = tuple(match_vma(a, x) for a in R0)
     R = jax.lax.fori_loop(0, W, win_body, R0)
+    if is_fp2:                           # back to FF2 layout (1, 2, Lb)
+        R = tuple(a.reshape(1, 2, ff.n) for a in R)
     R = proj_to_jac(ff, R)
     return tuple(a[0] for a in R)
 
