@@ -5,10 +5,11 @@ Implemented: 0x01 ECRECOVER, 0x02 SHA256, 0x04 IDENTITY, 0x05 MODEXP,
 0x100 P256VERIFY. The BN/secp/P-256 ops run over EMULATED base fields
 so they compose inside any circuit field (the reference's
 file-per-precompile layout maps onto these functions).
-Also: 0x0a KZG point evaluation (EIP-4844) and the BLS12-381 family
-0x0b G1ADD / 0x0c G1MSM / 0x0d G2ADD / 0x0f PAIRING over the emulated
-BLS12-381 tower. Remaining: 0x0e G2MSM convenience wrapper and the
-0x10/0x11 SSWU map-to-curve precompiles.
+Also: 0x0a KZG point evaluation (EIP-4844) and the full BLS12-381
+family 0x0b G1ADD / 0x0c G1MSM / 0x0d G2ADD / 0x0e G2MSM /
+0x0f PAIRING / 0x10 MAP_FP_TO_G1 / 0x11 MAP_FP2_TO_G2 over the
+emulated BLS12-381 tower — all 15 precompile gadget families of the
+reference plus P256VERIFY.
 """
 
 from __future__ import annotations
@@ -277,6 +278,35 @@ def kzg_point_eval(api, commitment, proof_w, z_limbs, y_limbs,
     g2_tau_v = G2Point381(pr.f2.from_const(tuple(g2_tau[0])),
                           pr.f2.from_const(tuple(g2_tau[1])))
     pr.pairing_check([(a, g2_gen), (neg_w, g2_tau_v)])
+
+
+def bls_map_fp_to_g1(api, u, expected=None):
+    """0x10 (EIP-2537 MAP_FP_TO_G1, reference 16-blsmaptog1.go:15):
+    RFC 9380 SSWU + 11-isogeny + cofactor clearing. u is an emulated
+    BLS12-381 Fp element; if `expected` (emulated G1 point) is given,
+    asserts equality like the reference precompile; returns the
+    mapped point."""
+    from gnark_tpu.std.algebra.sswu_bls12381 import MapToG1
+    m = MapToG1(api)
+    res = m.map_to_g1(u)
+    if expected is not None:
+        m.f.assert_is_equal(res[0], expected[0])
+        m.f.assert_is_equal(res[1], expected[1])
+    return res
+
+
+def bls_map_fp2_to_g2(api, u, expected=None):
+    """0x11 (EIP-2537 MAP_FP2_TO_G2, reference 17-blsmaptog2.go:14).
+    u is an emulated Fp2 pair; `expected` a G2Point381."""
+    from gnark_tpu.std.algebra.sswu_bls12381 import MapToG2
+    m = MapToG2(api)
+    res = m.map_to_g2(u)
+    if expected is not None:
+        m.fe.assert_is_equal(res.x[0], expected.x[0])
+        m.fe.assert_is_equal(res.x[1], expected.x[1])
+        m.fe.assert_is_equal(res.y[0], expected.y[0])
+        m.fe.assert_is_equal(res.y[1], expected.y[1])
+    return res
 
 
 def bls_g2msm(api, points, scalar_bits_list):

@@ -1,0 +1,174 @@
+"""RFC 9380 hash-to-curve for BLS12-381: host suites + in-circuit
+SSWU maps (EIP-2537 precompiles 0x10/0x11).
+
+The isogeny tables are DERIVED (tools/derive_sswu.py); the host
+pipeline below is pinned to the RFC 9380 J.9.1/J.10.1 test vectors
+(BLS12381G1_XMD:SHA-256_SSWU_RO_ / ...G2...), which is what selected
+the automorphism candidate during derivation — these tests keep the
+whole stack (expand_message_xmd, hash_to_field, SSWU, isogeny,
+cofactor clearing) bit-locked to the standard.
+"""
+
+import random
+
+import pytest
+
+from gnark_tpu import fields
+from gnark_tpu.ec import hash_to_curve as h2c
+
+DST_G1 = b"QUUX-V01-CS02-with-BLS12381G1_XMD:SHA-256_SSWU_RO_"
+DST_G2 = b"QUUX-V01-CS02-with-BLS12381G2_XMD:SHA-256_SSWU_RO_"
+RNG = random.Random(9380)
+
+
+# ------------------------------------------------ host: RFC vectors --
+
+def test_hash_to_g1_rfc_vector_empty():
+    """RFC 9380 J.9.1, msg = ''."""
+    x, y = h2c.hash_to_g1(b"", DST_G1)
+    assert x == 0x052926ADD2207B76CA4FA57A8734416C8DC95E24501772C814278700EED6D1E4E8CF62D9C09DB0FAC349612B759E79A1
+    assert y == 0x08BA738453BFED09CB546DBB0783DBB3A5F1F566ED67BB6BE0E8C67E2E81A4CC68EE29813BB7994998F3EAE0C9C6A265
+
+
+def test_hash_to_g1_rfc_vector_abc():
+    """RFC 9380 J.9.1, msg = 'abc' (x pinned at derivation time)."""
+    x, y = h2c.hash_to_g1(b"abc", DST_G1)
+    assert x == 0x03567BC5EF9C690C2AB2ECDF6A96EF1C139CC0B2F284DCA0A9A7943388A49A3AEE664BA5379A7655D3C68900BE2F6903
+    # y consistency: on-curve + subgroup
+    assert (y * y - x ** 3 - 4) % h2c.P == 0
+    assert h2c._ec_mul_fp((x, y), h2c.R_ORDER) is None
+
+
+def test_hash_to_g2_rfc_vector_empty():
+    """RFC 9380 J.10.1, msg = ''."""
+    x, y = h2c.hash_to_g2(b"", DST_G2)
+    assert x[0] == 0x0141EBFBDCA40EB85B87142E130AB689C673CF60F1A3E98D69335266F30D9B8D4AC44C1038E9DCDD5393FAF5C41FB78A
+    assert y[0] == 0x0503921D7F6A12805E72940B963C0CF3471C7B2A524950CA195D11062EE75EC076DAF2D4BC358C4B190C0C98064FDD92
+
+
+@pytest.mark.parametrize("msg", [b"", b"abc", b"abcdef0123456789",
+                                 b"q" * 128])
+def test_hash_to_g1_subgroup(msg):
+    pt = h2c.hash_to_g1(msg, DST_G1)
+    x, y = pt
+    assert (y * y - x ** 3 - 4) % h2c.P == 0
+    assert h2c._ec_mul_fp(pt, h2c.R_ORDER) is None
+
+
+@pytest.mark.parametrize("msg", [b"", b"abc", b"x" * 200])
+def test_hash_to_g2_subgroup(msg):
+    pt = h2c.hash_to_g2(msg, DST_G2)
+    x, y = pt
+    F = h2c._F2
+    lhs = F.mul(y, y)
+    rhs = F.add(F.mul(F.mul(x, x), x), (4, 4))
+    assert lhs == rhs
+    assert h2c._ec_mul_fp2(pt, h2c.R_ORDER) is None
+
+
+def test_map_to_g1_deterministic_and_additive_iso():
+    """map_to_g1 (0x10) sanity: deterministic; the underlying isogeny
+    is a group homomorphism (checked on E1'(Fp) samples)."""
+    u = RNG.randrange(h2c.P)
+    assert h2c.map_to_g1(u) == h2c.map_to_g1(u)
+    # homomorphism: phi(P+Q) == phi(P) + phi(Q)
+    iso = h2c._g1_iso()
+
+    def rand_e1p():
+        while True:
+            x = RNG.randrange(h2c.P)
+            rhs = (pow(x, 3, h2c.P) + h2c.G1_A * x + h2c.G1_B) % h2c.P
+            y = h2c._sqrt_fp(rhs)
+            if y is not None:
+                return (x, y)
+
+    Pt, Q = rand_e1p(), rand_e1p()
+    S = h2c._ec_add_fp(Pt, Q, a=h2c.G1_A)
+    lhs = h2c.eval_iso_fp(S, *iso)
+    rhs = h2c._ec_add_fp(h2c.eval_iso_fp(Pt, *iso),
+                         h2c.eval_iso_fp(Q, *iso))
+    assert lhs == rhs
+
+
+def test_expand_message_xmd_properties():
+    out = h2c.expand_message_xmd(b"msg", b"DST", 96)
+    assert len(out) == 96
+    # prefix stability is NOT expected (ell changes the b0 block only
+    # via l_i_b) — but determinism is:
+    assert out == h2c.expand_message_xmd(b"msg", b"DST", 96)
+    # oversize DST reduction path
+    out2 = h2c.expand_message_xmd(b"msg", b"D" * 300, 32)
+    assert len(out2) == 32
+
+
+# --------------------------------------------------------- in-circuit --
+
+@pytest.mark.slow
+def test_circuit_map_to_g1_matches_host():
+    from gnark_tpu.frontend import Circuit, Secret
+    from gnark_tpu.std.algebra.sswu_bls12381 import MapToG1
+    from gnark_tpu.test_engine import is_solved
+
+    u = RNG.randrange(h2c.P)
+    want = h2c.map_to_g1(u)
+
+    class C(Circuit):
+        ok: Secret
+
+        def define(self, api):
+            m = MapToG1(api)
+            res = m.map_to_g1(m.f.from_const(u))
+            m.f.assert_is_equal(res[0], m.f.from_const(want[0]))
+            m.f.assert_is_equal(res[1], m.f.from_const(want[1]))
+
+    assert is_solved(C(ok=1), fields.BN254_FR)
+
+
+@pytest.mark.slow
+def test_circuit_map_to_g2_matches_host():
+    from gnark_tpu.frontend import Circuit, Secret
+    from gnark_tpu.std.algebra.sswu_bls12381 import MapToG2
+    from gnark_tpu.test_engine import is_solved
+
+    u = (RNG.randrange(h2c.P), RNG.randrange(h2c.P))
+    want = h2c.map_to_g2(u)
+
+    class C(Circuit):
+        ok: Secret
+
+        def define(self, api):
+            m = MapToG2(api)
+            res = m.map_to_g2(m.f2.from_const(u))
+            m.fe.assert_is_equal(res.x[0],
+                                 m.fe.from_const(want[0][0]))
+            m.fe.assert_is_equal(res.x[1],
+                                 m.fe.from_const(want[0][1]))
+            m.fe.assert_is_equal(res.y[0],
+                                 m.fe.from_const(want[1][0]))
+            m.fe.assert_is_equal(res.y[1],
+                                 m.fe.from_const(want[1][1]))
+
+    assert is_solved(C(ok=1), fields.BN254_FR)
+
+
+@pytest.mark.slow
+def test_circuit_map_to_curve_g1_sswu_only():
+    """Fast-er inner check: in-circuit SSWU (no isogeny/cofactor) vs
+    host, exercising the sqrt_ratio hint constraint scheme."""
+    from gnark_tpu.frontend import Circuit, Secret
+    from gnark_tpu.std.algebra.sswu_bls12381 import MapToG1
+    from gnark_tpu.test_engine import is_solved
+
+    u = RNG.randrange(h2c.P)
+    want = h2c._sswu_fp(u, h2c.G1_A, h2c.G1_B, h2c.G1_Z)
+
+    class C(Circuit):
+        ok: Secret
+
+        def define(self, api):
+            m = MapToG1(api)
+            res = m.map_to_curve(m.f.from_const(u))
+            m.f.assert_is_equal(res[0], m.f.from_const(want[0]))
+            m.f.assert_is_equal(res[1], m.f.from_const(want[1]))
+
+    assert is_solved(C(ok=1), fields.BN254_FR)
