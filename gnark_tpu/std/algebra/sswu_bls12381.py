@@ -9,9 +9,15 @@ xor(b1,b2)==1 constraint scheme) + the DERIVED 11-/3-isogeny tables
 chain, map_to_g2.go:94-121).
 
 Incomplete-add caveat (house style of this stdlib, same as the
-reference's scalarMulBySeed): the constant-scalar chains use distinct-x
-adds; exceptional collisions have negligible probability for
-SSWU-distributed inputs.
+reference's scalarMulBySeed): the constant-scalar ladders use
+distinct-x adds whose divisions enforce a nonzero denominator, so an
+exceptional acc == +/-pt collision makes the circuit UNSATISFIABLE
+(a completeness gap, never a soundness one). For G1 the exceptional
+set is the preimages of small-order points (3 | cofactor), matching
+the reference's ClearCofactor structure (map_to_g1.go); for G2 the
+two adds that are reachable with equal inputs (ClearCofactor steps
+6/8, psi(P) == [seed]P on the r-torsion) use complete unified
+addition like the reference (map_to_g2.go:111,115).
 """
 
 from __future__ import annotations
@@ -241,7 +247,13 @@ class MapToG2:
 
     def _div(self, a, b):
         """Fp2 division via the registered bls381_fp2_div hint +
-        product constraint."""
+        product constraint.
+
+        Soundness: r*b == a alone is unconstrained when b == 0 (the
+        hint may return anything), so b != 0 is enforced too — like
+        EmulatedField.div / the reference's emulated Div. Exceptional
+        0/0 paths (e.g. crafted r-torsion SSWU images hitting equal-x
+        adds) thus become unsatisfiable, never forgeable."""
         f2, api = self.f2, self.api
         k = self.fe.k
         flat = [k]
@@ -251,6 +263,7 @@ class MapToG2:
         outs = api.new_hint("bls381_fp2_div", 2 * k, *flat)
         r = (self.fe.from_limb_vars(outs[:k]),
              self.fe.from_limb_vars(outs[k:]))
+        api.assert_is_equal(f2.is_zero(b), 0)
         chk = f2.mul(r, b)
         self.fe.assert_is_equal(chk[0], a[0])
         self.fe.assert_is_equal(chk[1], a[1])
@@ -293,6 +306,41 @@ class MapToG2:
     def _neg(self, Q):
         return G2Point381(Q.x, self.f2.neg(Q.y))
 
+    def _add_unified(self, Q1, Q2):
+        """COMPLETE addition on the twist (reference map_to_g2.go:111,
+        115 uses AddUnified at ClearCofactor steps 6 and 8): handles
+        Q1 == Q2, Q1 == -Q2 and (0,0)-encoded identity operands,
+        branchless via selects. Needed because psi(P) == [seed]P on
+        the r-torsion, so a crafted u can force equal inputs there —
+        incomplete adds would then be 0/0 divisions."""
+        f2, api = self.f2, self.api
+        x1, y1 = Q1.x, Q1.y
+        x2, y2 = Q2.x, Q2.y
+        p_inf = api.and_(f2.is_zero(x1), f2.is_zero(y1))
+        q_inf = api.and_(f2.is_zero(x2), f2.is_zero(y2))
+        same_x = f2.is_zero(f2.sub(x1, x2))
+        same_y = f2.is_zero(f2.sub(y1, y2))
+        is_dbl = api.and_(same_x, same_y)
+        is_opp = api.and_(same_x, api.sub(1, same_y))
+
+        one = f2.from_const((1, 0))
+        den_add = f2.select(same_x, one, f2.sub(x2, x1))
+        lam_add = self._div(f2.sub(y2, y1), den_add)
+        den_dbl = f2.select(f2.is_zero(y1), one, f2.mul_int(y1, 2))
+        lam_dbl = self._div(f2.mul_int(f2.sqr(x1), 3), den_dbl)
+        lam = f2.select(is_dbl, lam_dbl, lam_add)
+
+        x3 = f2.sub(f2.sub(f2.sqr(lam), x1), x2)
+        y3 = f2.sub(f2.mul(lam, f2.sub(x1, x3)), y1)
+        zero = f2.from_const((0, 0))
+        x3 = f2.select(is_opp, zero, x3)
+        y3 = f2.select(is_opp, zero, y3)
+        x3 = f2.select(p_inf, x2, x3)
+        y3 = f2.select(p_inf, y2, y3)
+        x3 = f2.select(q_inf, f2.select(p_inf, zero, x1), x3)
+        y3 = f2.select(q_inf, f2.select(p_inf, zero, y1), y3)
+        return G2Point381(x3, y3)
+
     def _mul_seed(self, Q):
         """[z]Q with z the (negative) BLS12-381 seed: [|z|]Q then
         negate (reference scalarMulBySeed)."""
@@ -319,9 +367,12 @@ class MapToG2:
         t2 = self._psi(Q)
         t3 = self._psi(self._psi(self._dbl(Q)))
         t3 = self._add(t3, self._neg(t2))
-        t2 = self._add(t1, t2)
+        # steps 6 and 8 use COMPLETE addition (reference
+        # map_to_g2.go:111,115): t1 == t2 is reachable there because
+        # psi(P) == [seed]P on the r-torsion.
+        t2 = self._add_unified(t1, t2)
         t2 = self._mul_seed(t2)
-        t3 = self._add(t3, t2)
+        t3 = self._add_unified(t3, t2)
         t3 = self._add(t3, self._neg(t1))
         return self._add(t3, self._neg(Q))
 

@@ -27,9 +27,10 @@ The Fiat-Shamir seed comes from api.commit over all instance values
 (constant cost; reference uses the same commit-based initial
 challenge).
 
-Topology restriction (v1): each intermediate wire feeds exactly one
-consumer (trees hanging off each output); INPUT wires may fan out
-freely. Hash chains (MiMC, Poseidon2 rounds) fit naturally.
+Topology: general DAGs — intermediate wires may fan out to multiple
+consumers; per-wire claims from different consumers are aggregated
+with a rho-weighted random linear combination before each layer's
+sumcheck (see _prove_layer / the rho-aggregation below).
 """
 
 from __future__ import annotations

@@ -43,7 +43,9 @@ def test_hash_to_g2_rfc_vector_empty():
     """RFC 9380 J.10.1, msg = ''."""
     x, y = h2c.hash_to_g2(b"", DST_G2)
     assert x[0] == 0x0141EBFBDCA40EB85B87142E130AB689C673CF60F1A3E98D69335266F30D9B8D4AC44C1038E9DCDD5393FAF5C41FB78A
+    assert x[1] == 0x05CB8437535E20ECFFAEF7752BADDF98034139C38452458BAEEFAB379BA13DFF5BF5DD71B72418717047F5B0F37DA03D
     assert y[0] == 0x0503921D7F6A12805E72940B963C0CF3471C7B2A524950CA195D11062EE75EC076DAF2D4BC358C4B190C0C98064FDD92
+    assert y[1] == 0x12424AC32561493F3FE3C260708A12B7C620E7BE00099A974E259DDC7D1F6395C3C811CDD19F1E8DBF3E9ECFDCBAB8D6
 
 
 @pytest.mark.parametrize("msg", [b"", b"abc", b"abcdef0123456789",
