@@ -15,17 +15,12 @@ constraint/bn254/marshal.go WriteTo):
                 limb words in MONTGOMERY form (constraint/bn254/
                 coeff.go toBytes)
 
-intcomp (github.com/ronanh/intcomp, wrapped by
-internal/backend/ioutils/intcomp.go): the library bit-packs full
-blocks of 128 (u32) / 256 (u64) deltas and encodes the remainder as a
-varint block. The varint-block layout implemented here was validated
-byte-for-byte against the two gnark-generated fixtures checked into
-the reference (internal/regression_tests/issue1045/testdata/): one
-32-bit word holds the value count, one word a block descriptor, then
-deltas as BIG-ENDIAN-byte MSB-continuation varints packed into words,
-0x80-padded. Streams holding >=128 values use the bit-packed block
-whose layout has no public spec or fixture; those raise
-NotImplementedError rather than guess.
+intcomp streams (github.com/ronanh/intcomp, wrapped by
+internal/backend/ioutils/intcomp.go) are decoded by io/intcomp.py:
+tail (varint) blocks validated byte-for-byte against the gnark
+fixtures, full bit-packed 128/256 blocks per the documented
+reconstruction there (encoder/decoder are exact inverses, so systems
+written by io/gnark_cs_writer.py always load back).
 
 The decoded system is mapped onto gnark_tpu's own IR
 (constraint/system.py) so gnark-compiled circuits solve and prove
@@ -40,8 +35,10 @@ import io as _io
 import struct
 
 from gnark_tpu import fields
+from gnark_tpu.constraint.hints import register_hint
 from gnark_tpu.constraint.system import (
-    ConstraintSystem, Instruction, R1C, SparseR1C)
+    Commitment, ConstraintSystem, Instruction, R1C, SparseR1C)
+from gnark_tpu.io import intcomp
 
 # -- CBOR tag registry (constraint/marshal.go:364-422) ----------------------
 
@@ -137,62 +134,10 @@ def _cbor_item(data, i):
     raise GnarkCSError(f"cbor: unsupported simple/float value {arg}")
 
 
-# -- intcomp varint-block decoder --------------------------------------------
+# -- intcomp streams (io/intcomp.py codec) ------------------------------------
 
-def _varint_deltas(payload: bytes, count: int, bits: int):
-    """Decode `count` values from BIG-ENDIAN-byte MSB-continuation
-    varint deltas (cumulative from 0), 0x80-padded."""
-    vals, v, i = [], 0, 0
-    acc = 0
-    mask = (1 << bits) - 1
-    while len(vals) < count:
-        if i >= len(payload):
-            raise GnarkCSError("intcomp: varint payload exhausted")
-        b = payload[i]
-        i += 1
-        v = (v << 7) | (b & 0x7F)
-        if not b & 0x80:
-            acc = (acc + v) & mask
-            vals.append(acc)
-            v = 0
-    return vals
-
-
-def _decode_intcomp_u32(words):
-    """words: sequence of uint32. Returns list[int]."""
-    if len(words) == 0:
-        return []
-    count = words[0]
-    if count >= 128 or len(words) < 2:
-        raise NotImplementedError(
-            "intcomp bit-packed 128-blocks not supported (no public "
-            f"spec/fixture); stream advertises {count} values")
-    payload = b"".join(struct.pack(">I", w) for w in words[2:])
-    return _varint_deltas(payload, count, 32)
-
-
-def _decode_intcomp_u64(words):
-    if len(words) == 0:
-        return []
-    count = words[0] & 0xFFFFFFFF
-    if count >= 256:
-        raise NotImplementedError(
-            "intcomp bit-packed 256-blocks not supported (no public "
-            f"spec/fixture); stream advertises {count} values")
-    payload = b"".join(struct.pack(">Q", w) for w in words[1:])
-    return _varint_deltas(payload, count, 64)
-
-
-def _read_u32_stream(buf, off):
-    (ln,) = struct.unpack_from("<Q", buf, off)
-    words = struct.unpack_from(f"<{ln}I", buf, off + 8)
-    return _decode_intcomp_u32(words), off + 8 + 4 * ln
-
-
-def _read_u64_stream(buf, off):
-    (ln,) = struct.unpack_from("<Q", buf, off)
-    words = struct.unpack_from(f"<{ln}Q", buf, off + 8)
-    return _decode_intcomp_u64(words), off + 8 + 8 * ln
+_read_u32_stream = intcomp.read_stream_u32
+_read_u64_stream = intcomp.read_stream_u64
 
 
 def _read_uvarints(buf, off, n):
@@ -217,6 +162,7 @@ def parse_gnark_cs(data: bytes) -> dict:
     decoded, nothing interpreted). See read_gnark_cs for the mapped
     ConstraintSystem."""
     total, _maj, _mi, _pa = struct.unpack_from("<4Q", data, 0)
+    version = (_maj, _mi, _pa)
     if 32 + total != len(data):
         raise GnarkCSError(
             f"length mismatch: wrapper says {32 + total}, got {len(data)}")
@@ -265,6 +211,7 @@ def parse_gnark_cs(data: bytes) -> dict:
 
     return {
         "field": field,
+        "version": version,
         "levels": levels,
         "blueprint_ids": bids,
         "constraint_offsets": coffs,
@@ -312,10 +259,21 @@ def read_gnark_cs(data: bytes) -> ConstraintSystem:
     hints = {int(k): v for k, v in (body.get("MHintsDependencies")
                                     or {}).items()}
 
-    ci = body.get("CommitmentInfo")
-    if isinstance(ci, Tagged) and ci.value:
-        raise NotImplementedError(
-            "gnark CS with in-circuit commitments not mapped yet")
+    # lookup blueprints carry their table entries in the blueprint body
+    # (BlueprintLookupHint.EntriesCalldata,
+    # constraint/blueprint_logderivlookup.go:13-25)
+    bp_entries = {}
+    for bid, bp in enumerate(body["Blueprints"]):
+        if bkinds[bid].startswith("lookup"):
+            ec = (bp.value or {}).get("EntriesCalldata") or []
+            entries, j = [], 0
+            while j < len(ec):
+                n = ec[j]
+                j += 1
+                entries.append(tuple((ec[j + 2 * t], ec[j + 2 * t + 1])
+                                     for t in range(n)))
+                j += 2 * n
+            bp_entries[bid] = entries
 
     cs = ConstraintSystem(raw["field"], kind)
     # gnark R1CS: Public[] includes the constant-one wire; ours too.
@@ -357,6 +315,43 @@ def read_gnark_cs(data: bytes) -> ConstraintSystem:
                 kind="hint", hint_name=name, inputs=tuple(ins),
                 outputs=tuple(range(out_s + shift, out_e + shift)),
                 level=lvl)
+        elif bkind.startswith("lookup"):
+            # BlueprintLookupHint (blueprint_logderivlookup.go:31-74):
+            # calldata = [size, nbEntries, nbInputs, inputs...]; table
+            # entries come from the blueprint; outputs are
+            # wireOffset + 0..nbInputs-1. Mapped onto the registered
+            # gnark_lookup hint with inputs
+            # (const nbEntries, entries[:nbEntries], queries).
+            j = start
+            n_entries, n_in = calldata[j + 1], calldata[j + 2]
+            j += 3
+            qs = []
+            for _ in range(n_in):
+                e, j = _linexp(calldata, j + 1, calldata[j], coeffs, shift)
+                qs.append(e)
+            ents = [tuple((coeffs[c], v + shift) for c, v in ent)
+                    for ent in bp_entries[bid][:n_entries]]
+            woff = raw["wire_offsets"][iid] + shift
+            inst = Instruction(
+                kind="hint", hint_name="gnark_lookup",
+                inputs=tuple([((n_entries, 0),)] + ents + qs),
+                outputs=tuple(range(woff, woff + n_in)), level=lvl)
+        elif bkind.startswith("batch_inverse"):
+            # BlueprintBatchInverse (blueprint_batch_inverse.go):
+            # calldata = [size, n, linexps...]; outputs
+            # wireOffset + 0..n-1; inverse of 0 is 0.
+            j = start
+            n_in = calldata[j + 1]
+            j += 2
+            ins = []
+            for _ in range(n_in):
+                e, j = _linexp(calldata, j + 1, calldata[j], coeffs, shift)
+                ins.append(e)
+            woff = raw["wire_offsets"][iid] + shift
+            inst = Instruction(
+                kind="hint", hint_name="gnark_batch_inverse",
+                inputs=tuple(ins),
+                outputs=tuple(range(woff, woff + n_in)), level=lvl)
         elif bkind == "r1c":
             j = start
             lenL, lenR, lenO = calldata[j + 1], calldata[j + 2], \
@@ -406,12 +401,70 @@ def read_gnark_cs(data: bytes) -> ConstraintSystem:
             cs.levels.append([])
         cs.levels[lvl].append(iid)
 
+    # commitments (constraint/commitment.go:9-26): map onto our
+    # Commitment records and rename the placeholder hint to bsb22 so
+    # the prover's commit-time override fires.
+    ci = body.get("CommitmentInfo")
+    if isinstance(ci, Tagged) and ci.value:
+        kind_name = TAG_TO_KIND.get(ci.tag, "")
+        for cm in ci.value:
+            if kind_name == "groth16_commitments":
+                if cm.get("NbPublicCommitted"):
+                    raise NotImplementedError(
+                        "gnark CS committing public wires not mapped")
+                pac = list(cm.get("PublicAndCommitmentCommitted") or [])
+                priv = list(cm.get("PrivateCommitted") or [])
+                rec = Commitment(
+                    committed_wires=tuple(w + shift for w in pac + priv),
+                    commitment_wire=cm["CommitmentIndex"] + shift,
+                    hint_name="bsb22")
+            elif kind_name == "plonk_commitments":
+                rows = list(cm.get("Committed") or [])
+                cm_row = cm["CommitmentIndex"]
+                con = cs.sparse[cm_row]
+                rec = Commitment(
+                    committed_wires=tuple(cs.sparse[r].xa for r in rows),
+                    commitment_wire=con.xa, hint_name="bsb22",
+                    committed_rows=tuple(rows), commitment_row=cm_row)
+            else:
+                raise GnarkCSError(
+                    f"unknown CommitmentInfo tag {ci.tag}")
+            for inst in cs.instructions:
+                if (inst.kind == "hint"
+                        and rec.commitment_wire in inst.outputs):
+                    inst.hint_name = "bsb22"
+            cs.commitments.append(rec)
+
     want = body["NbConstraints"]
     if cs.nb_constraints != want:
         raise GnarkCSError(
             f"constraint count mismatch: decoded {cs.nb_constraints}, "
             f"body says {want}")
     return cs
+
+
+# -- solver hints backing the mapped blueprints --------------------------------
+
+@register_hint("gnark_lookup")
+def _gnark_lookup_hint(q, inputs):
+    """[nbEntries, entries..., queries...] -> entry values at the
+    query indexes (BlueprintLookupHint.Solve semantics: out-of-range
+    queries are solve-time errors)."""
+    n = inputs[0]
+    entries = inputs[1:1 + n]
+    out = []
+    for qv in inputs[1 + n:]:
+        if qv >= n:
+            raise ValueError(f"lookup query {qv} out of range {n}")
+        out.append(entries[qv])
+    return out
+
+
+@register_hint("gnark_batch_inverse")
+def _gnark_batch_inverse_hint(q, inputs):
+    """Batch modular inversion; 0 -> 0
+    (BlueprintBatchInverse.Solve)."""
+    return [pow(x, -1, q) if x else 0 for x in inputs]
 
 
 def load_gnark_cs(path: str) -> ConstraintSystem:
