@@ -114,8 +114,12 @@ class Proof:
 
 
 def _hash_to_field(curve, point, recursion: bool = False) -> int:
-    """Commitment wire value from a commitment point (our dst; the
-    reference uses hash_to_field with "BSB22-Plonk"/Groth16 dst).
+    """Commitment wire value from a commitment point. Default: gnark's
+    fr/hash_to_field with dst "bsb22-commitment"
+    (constraint.CommitmentDst) over the uncompressed point bytes
+    (backend/groth16/bn254/prove.go:57-58,87-96) — bit-exact; the
+    SerializeCommitment public-committed suffix is empty because we
+    reject public committed wires like the CS reader does.
 
     recursion=True: MiMC over the 2-chain outer field, truncated to
     rbits-8 bits, so the in-circuit verifier recomputes it natively
@@ -132,15 +136,10 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
             curve, None if point is host.INF else point, recursion))
         mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
         return h.sum() & mask
-    import hashlib
-    h = hashlib.sha256(b"BSB22-Groth16-gnark-tpu")
-    nb = -(-curve.fp.modulus.bit_length() // 8)
-    if point is host.INF:
-        h.update(b"\x00" * (2 * nb))
-    else:
-        h.update(point[0].to_bytes(nb, "big"))
-        h.update(point[1].to_bytes(nb, "big"))
-    return int.from_bytes(h.digest(), "big") % curve.fr.modulus
+    from gnark_tpu.backend import gnark_fs
+    return gnark_fs.bsb22_groth16_value(
+        curve, None if point is host.INF else point, [],
+        curve.fr.modulus)
 
 
 def _encode_affine_host(ff, pts):
@@ -405,9 +404,11 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
             pok = host.ec_msm(f1, key.basis_exp_sigma, vals)
             commitments.append(C)
             poks.append(pok)
-            return [_hash_to_field(curve, C,
-                                   recursion_friendly)]
+            cm_vals.append(_hash_to_field(curve, C,
+                                          recursion_friendly))
+            return [cm_vals[-1]]
 
+        cm_vals: list = []
         overrides["bsb22"] = _bsb22_override
 
     import time as _time
@@ -512,6 +513,17 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     krs = host.ec_add(f1, krs, host.ec_mul(f1, pk.g1_delta, (-r * s) % q))
     krs = host.ec_add(f1, krs, host.ec_mul(f1, ar, s))
     krs = host.ec_add(f1, krs, host.ec_mul(f1, bs1, r))
+    if poks and not recursion_friendly:
+        # fold the PoKs into one like gnark (prove.go:110-128):
+        # challenge = fr.Hash(commitment wire values, "G16-BSB22"),
+        # CommitmentPok = sum challenge^i * pok_i
+        from gnark_tpu.backend import gnark_fs
+        ch = gnark_fs.groth16_fold_challenge(cm_vals, q)
+        acc, cp = host.INF, 1
+        for pok in poks:
+            acc = host.ec_add(f1, acc, host.ec_mul(f1, pok, cp))
+            cp = cp * ch % q
+        poks = [acc]
     return Proof(ar=ar, krs=krs, bs=bs, commitments=commitments, poks=poks)
 
 
@@ -533,7 +545,13 @@ def verify(proof: Proof, vk: VerifyingKey, public_values,
     curve = vk.curve
     q = curve.fr.modulus
     nb_cm = len(vk.commitment_g2_sigma)
-    if len(proof.commitments) != nb_cm or len(proof.poks) != nb_cm:
+    if len(proof.commitments) != nb_cm:
+        return False
+    # gnark proofs carry ONE folded PoK (marshal.go Ar|Bs|Krs|
+    # Commitments|CommitmentPok); recursion_friendly proofs keep
+    # per-commitment PoKs for the in-circuit verifier
+    if len(proof.poks) != (min(nb_cm, 1) if not recursion_friendly
+                           else nb_cm):
         return False
     # untrusted-point hardening: on-curve + subgroup for every proof
     # point before any pairing (gnark enforces this on unmarshal)
@@ -560,13 +578,29 @@ def verify(proof: Proof, vk: VerifyingKey, public_values,
 
     pairing = get_pairing(curve.name)
     f2h = curve.host_g2_field
-    # Pedersen PoKs: e(pok, g2) == e(C, sigma*g2)
-    for C, pok, g2s in zip(proof.commitments, proof.poks,
-                           vk.commitment_g2_sigma):
-        chk = pairing.pairing_product([
-            (pok, host.ec_neg(f2h, curve.g2)),
-            (C, g2s),
-        ])
+    if recursion_friendly:
+        # per-commitment PoKs: e(pok, g2) == e(C, sigma*g2)
+        pok_pairs = [p for C, pok, g2s in
+                     zip(proof.commitments, proof.poks,
+                         vk.commitment_g2_sigma)
+                     for p in ((pok, host.ec_neg(f2h, curve.g2)),
+                               (C, g2s))]
+    elif nb_cm:
+        # folded multi-vk check (verify.go:104-113 +
+        # pedersen.BatchVerifyMultiVk): with gamma the G16-BSB22
+        # challenge over the commitment wire values,
+        # e(-fold(pok), g2) * prod e(gamma^i C_i, sigma_i) == 1
+        from gnark_tpu.backend import gnark_fs
+        ch = gnark_fs.groth16_fold_challenge(extended[-nb_cm:], q)
+        pok_pairs = [(host.ec_neg(f1, proof.poks[0]), curve.g2)]
+        cp = 1
+        for C, g2s in zip(proof.commitments, vk.commitment_g2_sigma):
+            pok_pairs.append((host.ec_mul(f1, C, cp), g2s))
+            cp = cp * ch % q
+    else:
+        pok_pairs = []
+    if pok_pairs:
+        chk = pairing.pairing_product(pok_pairs)
         if not pairing.ext.eq(chk, pairing.gt_one()):
             return False
     res = pairing.pairing_product([

@@ -344,13 +344,15 @@ def write_groth16_vk(vk) -> bytes:
 def write_groth16_proof(proof, curve_name: str) -> bytes:
     """Serialize our backend Groth16 Proof in gnark's binary layout
     (backend/groth16/bn254/marshal.go:33-58: Ar | Bs | Krs |
-    []Commitments | CommitmentPok). gnark stores ONE folded PoK; we
-    keep per-commitment PoKs, so only 0/1-commitment proofs are
-    interoperable — multi-commitment proofs raise."""
+    []Commitments | CommitmentPok). gnark stores ONE folded PoK; the
+    default prover folds the same way (G16-BSB22 challenge), so every
+    non-recursion proof serializes; recursion_friendly proofs keep
+    per-commitment PoKs and raise here."""
     c = CURVES[curve_name]
     if len(proof.poks) > 1:
         raise NotImplementedError(
-            "gnark folds multiple PoKs; fold before export")
+            "per-commitment PoKs (recursion_friendly proof); gnark "
+            "stores one folded PoK")
     out = _write_g1(c, proof.ar)
     out += _write_g2(c, proof.bs)
     out += _write_g1(c, proof.krs)
