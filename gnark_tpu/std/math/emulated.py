@@ -87,6 +87,9 @@ BLS12_381_FP_EMU = EmuParams(
 BLS12_377_FR_EMU = EmuParams(
     "bls12_377_fr",
     8444461749428370424248824938781546531375899335154063827935233455917409239041)
+BW6_761_FP_EMU = EmuParams(
+    "bw6_761_fp",
+    6891450384315732539396789682275657542479668912536150109513790160209623422243491736087683183289411687640864567753786613451161759120554247759349511699125301598951605099378508850372543631423596795951899700429969112842764913119068299)
 
 
 def _val(limbs, k, off=0):
