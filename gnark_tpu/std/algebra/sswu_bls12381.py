@@ -163,7 +163,15 @@ class MapToG1:
     def clear_cofactor(self, pt):
         """[h_eff] pt, h_eff = 1 - z (eprint 2019/403 section 5;
         reference map_to_g1.go:56-76). Constant scalar -> unrolled
-        double-and-add, MSB first."""
+        double-and-add, MSB first.
+
+        Completeness caveat (matches the reference G1 structure): the
+        ladder uses INCOMPLETE adds, so a crafted u whose SSWU image
+        is a small-order point (3 | G1 cofactor) can hit acc == +-pt,
+        where _add's division by x2-x1 == 0 makes the circuit
+        UNSATISFIABLE (a liveness failure, never a soundness hole —
+        f.div constrains a nonzero divisor). Honest inputs land in the
+        torsion-free image where the exceptional case cannot occur."""
         bits = bin(H_EFF_G1)[2:]
         acc = pt
         for b in bits[1:]:

@@ -80,6 +80,17 @@ class TableRangeChecker:
     def _finalize(self, api) -> None:
         if not self.pending:
             return
+        # size-driven chunk width (the reference's baseLength,
+        # rangecheck.go getBaseLength): minimize
+        # table(2^w) + queries(sum ceil(nbits/w)) * ~5 so a single
+        # emulated mul doesn't pay a 4096-row table
+        best, best_cost = self.w, None
+        for w in range(4, 17):
+            cost = (1 << w) + 5 * sum(-(-nb // w)
+                                      for _, nb in self.pending)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = w, cost
+        self.w = best
         idxs = []
         for v, nbits in self.pending:
             idxs.extend(self._decompose(v, nbits))

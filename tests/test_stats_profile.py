@@ -94,3 +94,40 @@ def test_pprof_export(tmp_path):
     assert top[6][0] == b""  # first string must be empty
     assert len(top[4]) == len(top[5])   # one location per function here
     assert p.total > 0
+
+
+def test_stats_gnark_comparison():
+    """Pinned reference counts (internal/stats/latest_stats.csv
+    bn254/groth16 rows) recorded beside ours; this asserts the
+    comparison is produced and that directly-comparable API-level
+    snippets stay within 2x of gnark (gadget-level economics like
+    emulated mul are tracked in the CSV + COVERAGE, not gated)."""
+    rows = stats.collect()
+    comp = stats.gnark_comparison(rows)
+    assert len(comp) >= 8
+    by_name = {c[0]: c for c in comp}
+    for name in ("api/is_zero", "hash/mimc", "api/lookup2",
+                 "selector/mux4", "api/assert_is_crumb"):
+        _, ours, ref, ratio = by_name[name]
+        assert ratio <= 2.0, (name, ours, ref)
+
+
+HEAVY_CSV = pathlib.Path(__file__).parent / "data" / "stats_heavy.csv"
+
+
+def test_stats_heavy_regression():
+    """Expensive-gadget constraint economics (slow tier): eddsa,
+    emulated scalar-mul/ecdsa, sha256 block."""
+    import pytest
+    pytest.importorskip("jax")
+    got = stats.to_csv(stats.collect(heavy=True))
+    want = HEAVY_CSV.read_text()
+    assert got == want, (
+        "heavy constraint counts drifted — regenerate with:\n"
+        "python -c \"from gnark_tpu import stats; "
+        "open('tests/data/stats_heavy.csv','w')"
+        ".write(stats.to_csv(stats.collect(heavy=True)))\"")
+
+
+test_stats_heavy_regression = __import__("pytest").mark.slow(
+    test_stats_heavy_regression)
