@@ -125,7 +125,18 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
     rbits-8 bits, so the in-circuit verifier recomputes it natively
     (std/recursion/groth16 commitment support). recursion="self":
     MiMC over the curve's own fr with limb-split coordinates
-    (emulated self-recursion)."""
+    (emulated self-recursion). recursion="evm": sha256(x||y) % r, the
+    solidity-contract-computable variant."""
+    if recursion == "evm":
+        # the reference swaps HashToFieldFn for a plain evm hash when
+        # targeting the contract (verify.go:157-159)
+        import hashlib
+        nb = -(-curve.fp.modulus.bit_length() // 8)
+        raw = (b"\x00" * 2 * nb if point is host.INF else
+               point[0].to_bytes(nb, "big")
+               + point[1].to_bytes(nb, "big"))
+        return int.from_bytes(hashlib.sha256(raw).digest(),
+                              "big") % curve.fr.modulus
     if recursion:
         from gnark_tpu.backend.transcript import outer_mimc_field
         from gnark_tpu.std.hash.mimc import MiMC

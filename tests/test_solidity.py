@@ -233,3 +233,67 @@ def test_plonk_export_and_simulate():
     bad[16] = (bad[16] + 1) % R
     assert not simulate(bad, pubs)
     assert not simulate(prw, [v + 1 for v in pubs])
+
+
+def test_groth16_commitment_export_and_simulate():
+    """Commitment-circuit contract (reference solidity.go:413-646):
+    prove with the evm commitment hash, re-run the contract's two
+    pairing calls + sha256 hash host-side."""
+    import hashlib
+
+    from tests.test_groth16 import CommitCircuit
+
+    cs = compile_circuit(CommitCircuit(), fields.BN254_FR)
+    assert cs.commitments, "circuit must carry a BSB22 commitment"
+    rng = random.Random(99)
+    pk, vk = groth16.setup(cs, "bn254", rng=rng)
+    pub, sec = witness(CommitCircuit(x=5, y=25), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=rng,
+                          recursion_friendly="evm")
+    assert groth16.verify(proof, vk, pub, recursion_friendly="evm")
+
+    src = solidity.export_groth16_verifier(vk)
+    assert "SIGMA_X1" in src and "sha256(abi.encodePacked" in src
+    assert "uint256[2] calldata cm" in src
+
+    # --- simulate the contract host-side -----------------------------
+    curve = vk.curve
+    q = curve.fr.modulus
+    f1 = curve.host_fp
+    pairing = get_pairing("bn254")
+    C = proof.commitments[0]
+    pok = proof.poks[0]
+
+    # pairing call 1: e(-pok, g2) * e(C, sigma) == 1
+    chk = pairing.pairing_product([
+        (host.ec_neg(f1, pok), tuple(curve.g2)),
+        (C, vk.commitment_g2_sigma[0])])
+    assert pairing.ext.eq(chk, pairing.gt_one())
+
+    # cmVal = sha256(Cx || Cy) % R (the contract's hash)
+    cm_val = int.from_bytes(hashlib.sha256(
+        C[0].to_bytes(32, "big") + C[1].to_bytes(32, "big")).digest(),
+        "big") % q
+
+    vkx = vk.g1_k[0]
+    for v, pt in zip(list(pub) + [cm_val], vk.g1_k[1:]):
+        vkx = host.ec_add(f1, vkx, host.ec_mul(f1, pt, v % q))
+    vkx = host.ec_add(f1, vkx, C)
+    res = pairing.pairing_product([
+        (host.ec_neg(f1, proof.ar), proof.bs),
+        (vk.g1_alpha, vk.g2_beta),
+        (vkx, vk.g2_gamma),
+        (proof.krs, vk.g2_delta)])
+    assert pairing.ext.eq(res, pairing.gt_one())
+
+    # wrong public input fails the same equation
+    vkx_bad = vk.g1_k[0]
+    for v, pt in zip([26, cm_val], vk.g1_k[1:]):
+        vkx_bad = host.ec_add(f1, vkx_bad, host.ec_mul(f1, pt, v))
+    vkx_bad = host.ec_add(f1, vkx_bad, C)
+    res = pairing.pairing_product([
+        (host.ec_neg(f1, proof.ar), proof.bs),
+        (vk.g1_alpha, vk.g2_beta),
+        (vkx_bad, vk.g2_gamma),
+        (proof.krs, vk.g2_delta)])
+    assert not pairing.ext.eq(res, pairing.gt_one())
