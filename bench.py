@@ -35,6 +35,16 @@ import numpy as np
 DEADLINE = time.monotonic() + float(
     os.environ.get("GNARK_TPU_BENCH_BUDGET", "420"))
 
+# Speed-of-light anchors (BASELINE.md Targets #2): tools/mul_bench.py
+# measured 1.415 ns per bn254 Fp Montgomery mul per lane on this chip
+# (2026-08-20, variant "base") -> 707e6 field-muls/s/chip.
+# MSM algorithmic floor: ceil(256/c)*11 muls/point (complete mixed
+# adds, c=16 window) -> 176 muls/pt -> 4.0e6 pts/s.
+# NTT 2^20 floor: (n/2)*log2(n) = 10.49e6 butterfly muls -> 14.8 ms.
+FIELD_MULS_PER_SEC = 707e6
+MSM_SOL_PPS = FIELD_MULS_PER_SEC / (16 * 11)
+NTT20_SOL_MS = (1 << 19) * 20 / FIELD_MULS_PER_SEC * 1e3
+
 
 def _left():
     return DEADLINE - time.monotonic()
@@ -132,7 +142,18 @@ def _secondary_msm20():
     print(json.dumps({
         "metric": "bn254_g1_msm_2^20_points_per_sec",
         "value": round(pps, 1), "unit": "points/s",
-        "vs_baseline": round(pps / 1e6, 4)}), flush=True)
+        "vs_baseline": round(pps / 1e6, 4),
+        "sol_frac": round(pps / MSM_SOL_PPS, 4)}), flush=True)
+
+
+def _secondary_msm22():
+    """BASELINE.json's headline size: BN254 G1 MSM at 2^22."""
+    pps = _msm_points_per_sec(1 << 22)
+    print(json.dumps({
+        "metric": "bn254_g1_msm_2^22_points_per_sec",
+        "value": round(pps, 1), "unit": "points/s",
+        "vs_baseline": round(pps / 1e6, 4),
+        "sol_frac": round(pps / MSM_SOL_PPS, 4)}), flush=True)
 
 
 def _secondary_ntt20():
@@ -175,58 +196,133 @@ def _secondary_ntt20():
         "metric": "bn254_fr_ntt_2^20_ms",
         "value": round(per * 1e3, 2), "unit": "ms",
         "vs_baseline": round(0.030 / per, 4) if per > 0 else 0,
+        "sol_frac": round(NTT20_SOL_MS / (per * 1e3), 4)
+        if per > 0 else 0,
     }), flush=True)
 
 
+def _synth_square_chain(n_chains: int, chain_len: int):
+    """Synthetic R1CS: n_chains independent squaring chains of
+    chain_len (total n_chains*chain_len constraints) — wide levels so
+    the native solver parallelizes, built directly in the IR (a
+    2^18-api-call frontend compile would eat the bench budget)."""
+    from gnark_tpu import fields
+    from gnark_tpu.constraint.system import (
+        ConstraintSystem, Instruction, R1C)
+    F = fields.BN254_FR
+    cs = ConstraintSystem(F, "r1cs")
+    cs.secret_names = [f"x{i}" for i in range(n_chains)]
+    for c in range(n_chains):
+        w = 1 + c
+        for _ in range(chain_len):
+            o = cs.new_internal_wire()
+            cs.r1cs.append(R1C(((1, w),), ((1, w),), ((1, o),)))
+            cs.add_instruction(
+                Instruction(kind="r1c", cidx=len(cs.r1cs) - 1,
+                            outputs=(o,)), [w])
+            w = o
+    return cs
+
+
 def _secondary_g16():
-    """End-to-end Groth16 prove wall time (host solve + device
-    MSM/NTT) on a ~2^10-constraint MiMC circuit."""
+    """End-to-end Groth16 prove wall time at 2^18 constraints
+    (solve + computeH NTTs + 5 MSMs; dummy keys — MSM/NTT cost is
+    value-independent, reference groth16.DummySetup)."""
     import random
     _setup_jax()
-    from gnark_tpu import fields
     from gnark_tpu.backend import groth16
-    from gnark_tpu.frontend import Circuit, Public, Secret, \
-        compile_circuit, witness
-    from gnark_tpu.std.hash.mimc import MiMCGadget, mimc_hash
 
-    class Chain(Circuit):
-        x: Secret
-        h: Public
-
-        def define(self, api):
-            acc = self.x
-            for _ in range(3):
-                m = MiMCGadget(api)
-                m.write(acc)
-                acc = m.sum()
-            api.assert_is_equal(acc, self.h)
-
-    x = 12345
-    acc = x
-    for _ in range(3):
-        acc = mimc_hash([acc])
-    cs = compile_circuit(Chain(), fields.BN254_FR)
-    pk, vk = groth16.setup(cs, "bn254", rng=random.Random(5))
-    pub, sec = witness(Chain(x=x, h=acc), cs)
+    n_chains, chain_len = 512, 512          # 2^18 constraints
+    cs = _synth_square_chain(n_chains, chain_len)
+    q = cs.q
+    pk = groth16.dummy_setup(cs, "bn254")
+    secrets_in = [i + 2 for i in range(n_chains)]
     # warm (compiles)
-    proof = groth16.prove(cs, pk, pub, sec, rng=random.Random(6))
-    assert groth16.verify(proof, vk, pub)
+    groth16.prove(cs, pk, [], secrets_in, rng=random.Random(6))
     best = float("inf")
     for i in range(2):
         t0 = time.perf_counter()
-        groth16.prove(cs, pk, pub, sec, rng=random.Random(7 + i))
+        groth16.prove(cs, pk, [], secrets_in, rng=random.Random(7 + i))
+        best = min(best, time.perf_counter() - t0)
+    nc = cs.nb_constraints
+    print(json.dumps({
+        "metric": f"groth16_prove_2^18_ms",
+        "value": round(best * 1e3, 1), "unit": "ms",
+        # gnark CPU proves ~2^18 in roughly 1-2s on a big server
+        # (no in-repo number; docs-scale estimate) -> vs 1.5s
+        "vs_baseline": round(1.5 / best, 4),
+    }), flush=True)
+
+
+def _secondary_plonk18():
+    """End-to-end PLONK prove at 2^17 gates on the device pipeline."""
+    import random
+    _setup_jax()
+    from gnark_tpu import fields
+    from gnark_tpu.backend import kzg, plonk
+    from gnark_tpu.constraint.system import (
+        ConstraintSystem, Instruction, SparseR1C)
+    F = fields.BN254_FR
+    q = F.modulus
+    cs = ConstraintSystem(F, "scs")
+    n_chains, chain_len = 512, 256           # 2^17 gates
+    cs.secret_names = [f"x{i}" for i in range(n_chains)]
+    for c in range(n_chains):
+        w = 1 + c
+        for _ in range(chain_len):
+            o = cs.new_internal_wire()
+            # x*x - o == 0
+            cs.sparse.append(SparseR1C(w, w, o, 0, 0, q - 1, 1, 0))
+            cs.add_instruction(
+                Instruction(kind="scs", cidx=len(cs.sparse) - 1,
+                            outputs=(o,)), [w])
+            w = o
+    srs_n = 1 << 18
+    srs = kzg.setup_srs("bn254", srs_n + 8, rng=random.Random(3),
+                        with_host=False)
+    pk, vk = plonk.setup(cs, srs)
+    secrets_in = [i + 2 for i in range(n_chains)]
+    plonk.prove(cs, pk, [], secrets_in, rng=random.Random(4))
+    best = float("inf")
+    for i in range(2):
+        t0 = time.perf_counter()
+        plonk.prove(cs, pk, [], secrets_in, rng=random.Random(5 + i))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
-        "metric": f"groth16_prove_mimc_{cs.nb_constraints}c_ms",
+        "metric": "plonk_prove_2^17_ms",
         "value": round(best * 1e3, 1), "unit": "ms",
-        "vs_baseline": 0.0,   # no measured gnark number available
+        "vs_baseline": round(2.0 / best, 4),
+    }), flush=True)
+
+
+def _secondary_rollup():
+    """BASELINE config #4 first rung: the EdDSA+Merkle rollup at
+    >=2^16 constraints, proven with dummy keys on device."""
+    os.environ["ROLLUP_DEPTH"] = "8"
+    os.environ["ROLLUP_TXS"] = "3"
+    _setup_jax()
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "rollup_bench", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "examples", "rollup.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    dt, nc = mod.main(prove=True, dummy=True)
+    print(json.dumps({
+        "metric": f"groth16_prove_rollup_{nc}c_ms",
+        "value": round(dt * 1e3, 1), "unit": "ms",
+        "vs_baseline": round(1.0 / dt, 4),   # ~1s gnark-CPU ballpark
     }), flush=True)
 
 
 SECONDARIES = {
     "msm20": (_secondary_msm20, 150),
+    "msm22": (_secondary_msm22, 180),
     "ntt20": (_secondary_ntt20, 120),
-    "g16": (_secondary_g16, 150),
+    "g16": (_secondary_g16, 240),
+    "plonk18": (_secondary_plonk18, 300),
+    "rollup": (_secondary_rollup, 300),
 }
 
 
@@ -265,11 +361,13 @@ def main():
         "value": round(pps, 1),
         "unit": "points/s",
         "vs_baseline": round(pps / baseline_pps, 4),
+        "sol_frac": round(pps / MSM_SOL_PPS, 4),
     })
     print(headline, flush=True)
 
     # --- secondary metrics, each in a time-boxed subprocess ---
-    for name in ("msm20", "ntt20", "g16"):
+    for name in ("msm20", "msm22", "ntt20", "g16", "plonk18",
+                 "rollup"):
         if _left() > 60:
             _run_secondary(name)
 

@@ -6,6 +6,7 @@ per transfer, root chained across the batch).
 Run: python examples/rollup.py
 """
 
+import os
 import random
 import sys
 
@@ -18,8 +19,10 @@ from gnark_tpu.frontend import Circuit, Public, Secret, compile_circuit, \
 from gnark_tpu.std.hash.mimc import mimc_hash
 from gnark_tpu.std.signature import eddsa
 
-DEPTH = 2                      # 4 accounts
-NB_TX = 1
+# BASELINE config #4's first rung: scale with ROLLUP_DEPTH/ROLLUP_TXS
+# (depth 8 x 16 txs ~ 2^16+ constraints; reference examples/rollup)
+DEPTH = int(os.environ.get("ROLLUP_DEPTH", "2"))
+NB_TX = int(os.environ.get("ROLLUP_TXS", "1"))
 Q = fields.BN254_FR.modulus
 
 
@@ -171,10 +174,14 @@ def build_batch(accounts, transfers):
     return old_root, tree_root(leaves), flat
 
 
-def main(prove: bool = False):
+def main(prove: bool = False, dummy: bool = False):
     rng = random.Random(7)
-    accounts = [Account(bytes([i] * 8), 100 + 10 * i) for i in range(4)]
-    old_root, new_root, flat = build_batch(accounts, [(1, 3, 30)])
+    n_acc = 1 << DEPTH
+    accounts = [Account(bytes([i % 251 + 1] * 8), 1000 + 10 * i)
+                for i in range(n_acc)]
+    transfers = [((2 * i + 1) % n_acc, (2 * i + 3) % n_acc, 1 + i)
+                 for i in range(NB_TX)]
+    old_root, new_root, flat = build_batch(accounts, transfers)
 
     inst = Rollup(old_root=old_root, new_root=new_root)
     inst.tx = flat
@@ -192,8 +199,19 @@ def main(prove: bool = False):
         assert ok
         return
 
-    pk, vk = groth16.setup(cs, "bn254", rng=rng)
+    import time
     pub, sec = witness(inst, cs)
+    if dummy:
+        # timing-only run with fake keys (reference groth16.DummySetup)
+        pk = groth16.dummy_setup(cs, "bn254")
+        groth16.prove(cs, pk, pub, sec, rng=rng)   # warm/compile
+        t0 = time.perf_counter()
+        groth16.prove(cs, pk, pub, sec, rng=rng)
+        dt = time.perf_counter() - t0
+        print(f"prove({cs.nb_constraints}c): {dt*1e3:.1f} ms "
+              f"({cs.nb_constraints/dt:.0f} constraints/s)")
+        return dt, cs.nb_constraints
+    pk, vk = groth16.setup(cs, "bn254", rng=rng)
     proof = groth16.prove(cs, pk, pub, sec, rng=rng)
     ok = groth16.verify(proof, vk, pub)
     print("verified:", ok)
@@ -201,4 +219,5 @@ def main(prove: bool = False):
 
 
 if __name__ == "__main__":
-    main(prove="--prove" in sys.argv)
+    main(prove="--prove" in sys.argv or "--dummy" in sys.argv,
+         dummy="--dummy" in sys.argv)

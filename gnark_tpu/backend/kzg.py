@@ -38,8 +38,12 @@ class SRS:
 
 
 def setup_srs(curve_name: str, size: int, tau: int | None = None,
-              rng=None) -> SRS:
-    """Insecure single-party SRS (reference test/unsafekzg analog)."""
+              rng=None, with_host: bool = True) -> SRS:
+    """Insecure single-party SRS (reference test/unsafekzg analog).
+
+    with_host=False skips the O(size) device->host point decode
+    (g1_host=[]) — commits only need the device powers; use for
+    benchmarks/prover-only setups."""
     import secrets
     curve = curves_mod.CURVES[curve_name]
     q = curve.fr.modulus
@@ -57,7 +61,7 @@ def setup_srs(curve_name: str, size: int, tau: int | None = None,
     pts_dev = jac_to_affine(ffp, batch_scalar_mul(
         ffp, base, curve.fr.bits, jnp.asarray(ffr.encode(powers, mont=False))))
     from gnark_tpu.backend.groth16 import _decode_affine
-    pts_host = _decode_affine(ffp, pts_dev)
+    pts_host = _decode_affine(ffp, pts_dev) if with_host else []
     f2 = curve.host_g2_field
     return SRS(curve=curve, g1_powers=pts_dev, g1_host=pts_host,
                g2_gen=curve.g2, g2_tau=host.ec_mul(f2, curve.g2, tau))

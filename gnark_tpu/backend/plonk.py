@@ -15,27 +15,31 @@ Protocol-equivalent reimplementation of the reference's per-curve PLONK
   * verifier: recompute challenges, PI(zeta), constLin check, fold the
     linearized digest, 2 KZG opening checks (verify.go:36-310).
 
-Fiat-Shamir byte conventions are ours (transcript.py); the challenge
-names/order and all bound data mirror the reference. Blinding orders
-1,1,1,2 like the reference (prove.go:71-76). Quotient is materialized
-on the full 4N coset (the reference's rho-pass memory optimization,
-prove.go:936-1020, is a later memory optimization).
+Fiat-Shamir is gnark-bit-exact by default (gnark_fs.py: sha256
+transcript "gamma","beta","alpha","zeta", uncompressed point marshals,
+fr/hash_to_field "BSB22-Plonk", kzg deriveGamma folding challenge);
+recursion_friendly switches to the MiMC transcript. Blinding orders
+1,1,1,2 like the reference (prove.go:71-76).
 
-Device usage: NTTs for all basis changes (N and 4N coset), KZG commits
-via Pippenger MSM; scalar poly algebra stays host-side at these sizes.
+The prover is fully device-resident (backend/plonk_device.py: column
+gathers, NTTs, Z scan, quotient incl. the rho-pass memory mode, KZG
+openings by evaluate-and-divide); setup also runs its basis changes
+and commits on device and seeds pk._dev so prove never re-encodes the
+static columns. The host sequences Fiat-Shamir and O(1) scalars.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import hashlib
+
 import secrets
 
 import jax.numpy as jnp
 import numpy as np
 
 from gnark_tpu.backend import kzg as kzg_mod
-from gnark_tpu.backend.transcript import MimcTranscript, Transcript
+from gnark_tpu.backend import gnark_fs
+from gnark_tpu.backend.transcript import MimcTranscript
 from gnark_tpu.constraint import ConstraintSystem, solve_auto
 from gnark_tpu.ec import curves as curves_mod
 from gnark_tpu.ec import host
@@ -45,50 +49,6 @@ from gnark_tpu.ntt import Domain
 
 def _next_pow2(n: int) -> int:
     return 1 << max(n - 1, 1).bit_length() if n & (n - 1) or n == 0 else n
-
-
-# ---------------------------------------------------------------------------
-# host polynomial helpers (coefficient lists of ints, low-to-high)
-# ---------------------------------------------------------------------------
-
-def _poly_eval(c, z, q):
-    r = 0
-    for v in reversed(c):
-        r = (r * z + v) % q
-    return r
-
-
-def _poly_add(a, b, q):
-    n = max(len(a), len(b))
-    return [((a[i] if i < len(a) else 0) + (b[i] if i < len(b) else 0)) % q
-            for i in range(n)]
-
-
-def _poly_scale(a, k, q):
-    return [v * k % q for v in a]
-
-
-def _batch_inv(vals, q):
-    """Montgomery batch inversion: one modular exponentiation total."""
-    n = len(vals)
-    pref = [1] * (n + 1)
-    for i, v in enumerate(vals):
-        pref[i + 1] = pref[i] * v % q
-    inv_all = pow(pref[n], -1, q)
-    out = [0] * n
-    for i in range(n - 1, -1, -1):
-        out[i] = inv_all * pref[i] % q
-        inv_all = inv_all * vals[i] % q
-    return out
-
-
-def _mul_zh(b, N, q):
-    """b(X) * (X^N - 1)."""
-    out = [0] * (len(b) + N)
-    for i, v in enumerate(b):
-        out[i + N] = (out[i + N] + v) % q
-        out[i] = (out[i] - v) % q
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -155,35 +115,6 @@ class PlonkProof:
 
 
 # ---------------------------------------------------------------------------
-# basis changes on device
-# ---------------------------------------------------------------------------
-
-class _Ntt:
-    def __init__(self, field, N):
-        from gnark_tpu.ntt import get_domain
-        self.ff = get_ff(field.name)
-        self.dom = get_domain(self.ff, N)
-        self.q = field.modulus
-        self.N = N
-
-    def ifft(self, values):
-        v = jnp.asarray(self.ff.encode([v % self.q for v in values]))
-        out = self.ff.decode(np.asarray(self.dom.ifft(v)))
-        return [int(x) for x in out]
-
-    def fft_coset(self, coeffs):
-        c = list(coeffs) + [0] * (self.N - len(coeffs))
-        v = jnp.asarray(self.ff.encode([v % self.q for v in c]))
-        out = self.ff.decode(np.asarray(self.dom.fft(v, coset=True)))
-        return [int(x) for x in out]
-
-    def ifft_coset(self, values):
-        v = jnp.asarray(self.ff.encode([v % self.q for v in values]))
-        out = self.ff.decode(np.asarray(self.dom.ifft(v, coset=True)))
-        return [int(x) for x in out]
-
-
-# ---------------------------------------------------------------------------
 # Setup
 # ---------------------------------------------------------------------------
 
@@ -194,8 +125,11 @@ def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
     assert q == cs.q
     nb_pub = cs.nb_public
     N = _next_pow2(nb_pub + cs.nb_constraints)
-    if len(srs.g1_host) < N + 3:
-        raise ValueError(f"SRS too small: need {N + 3}, got {len(srs.g1_host)}")
+    srs_len = (len(srs.g1_host) or
+               (srs.g1_powers[0].shape[0] if srs.g1_powers is not None
+                else 0))
+    if srs_len < N + 3:
+        raise ValueError(f"SRS too small: need {N + 3}, got {srs_len}")
 
     w = curve.fr.root_of_unity(N)
     u = curve.fr.generator % q
@@ -241,23 +175,45 @@ def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
     s2_vals = [evalpoint(perm[N + i]) for i in range(N)]
     s3_vals = [evalpoint(perm[2 * N + i]) for i in range(N)]
 
-    ntt = _Ntt(curve.fr, N)
-    coeffs = {name: ntt.ifft(vals) for name, vals in [
-        ("ql", ql), ("qr", qr), ("qm", qm), ("qo", qo), ("qk", qk),
-        ("s1", s1_vals), ("s2", s2_vals), ("s3", s3_vals)]}
-    comms = {name: kzg_mod.commit(srs, c) for name, c in coeffs.items()}
+    # device basis changes + commits: each column is Montgomery-encoded
+    # ONCE, iFFT'd and committed on device; the host int coeff lists
+    # are decoded once for serialization/verify compat, and the device
+    # arrays are seeded into pk._dev so prove() skips re-encoding
+    from gnark_tpu.backend import plonk_device as pdev
+    from gnark_tpu.ntt import get_domain
+    ffr = get_ff(curve.fr.name)
+    dom = get_domain(ffr, N)
+    dev: dict = {}
+    coeffs = {}
+    comms = {}
+    lag_cols = [("ql", ql), ("qr", qr), ("qm", qm), ("qo", qo),
+                ("qk", qk), ("s1", s1_vals), ("s2", s2_vals),
+                ("s3", s3_vals)]
+    for name, vals in lag_cols:
+        v = jnp.asarray(ffr.encode(vals))
+        if name == "qk":
+            dev["qk_lag"] = v
+        if name in ("s1", "s2", "s3"):
+            dev[name + "_v"] = v
+        c_dev = dom.ifft(v)
+        dev[name + "_c"] = c_dev
+        coeffs[name] = [int(x) for x in ffr.decode(np.asarray(c_dev))]
+        comms[name] = pdev.commit_dev(srs, c_dev)
+    dev["wpow"] = pdev.dev_powers(ffr, w, N)
 
     # BSB22 Qcp selector columns: 1 at each COMMITTED row
     # (reference setup.go:211-218 commitTrace)
     qcp_coeffs = []
     qcp_comms = []
+    dev["qcp_c"] = []
     for cm in cs.commitments:
         col = [0] * N
         for row in cm.committed_rows:
             col[off + row] = 1
-        c = ntt.ifft(col)
-        qcp_coeffs.append(c)
-        qcp_comms.append(kzg_mod.commit(srs, c))
+        c_dev = dom.ifft(jnp.asarray(ffr.encode(col)))
+        dev["qcp_c"].append(c_dev)
+        qcp_coeffs.append([int(x) for x in ffr.decode(np.asarray(c_dev))])
+        qcp_comms.append(pdev.commit_dev(srs, c_dev))
 
     vk = PlonkVerifyingKey(
         curve=curve, size=N, generator=w, coset_shift=u, nb_public=nb_pub,
@@ -275,6 +231,7 @@ def setup(cs: ConstraintSystem, srs: kzg_mod.SRS):
         s2_coeffs=coeffs["s2"], s3_coeffs=coeffs["s3"],
         s1_vals=s1_vals, s2_vals=s2_vals, s3_vals=s3_vals, perm=perm,
         qcp_coeffs=qcp_coeffs)
+    pk._dev = dev
     return pk, vk
 
 
@@ -291,7 +248,13 @@ def _new_transcript(vk: PlonkVerifyingKey, recursion=False):
     if recursion:
         return MimcTranscript(vk.curve.fr.modulus, names,
                               _outer_mimc_field(vk.curve, recursion))
-    return Transcript(vk.curve.fr.modulus, names)
+    # default: gnark-bit-exact fiat-shamir (prove.go:217) — the
+    # transcript and all point/element marshals match gnark-crypto,
+    # so challenges (and proofs) cross-verify with gnark
+    ts = gnark_fs.GnarkTranscript(vk.curve.fr.modulus, names)
+    ts.point_bytes = lambda P, p_mod, _c=vk.curve: gnark_fs.g1_raw_bytes(
+        _c, None if P is host.INF else P)
+    return ts
 
 
 def _bind_public_data(ts: Transcript, vk: PlonkVerifyingKey, publics):
@@ -324,15 +287,15 @@ def _fold_challenge(vk, digests, zeta, zu, claimed,
         for v in claimed:
             ts.bind("fold", ts.fe_bytes(v))
         return ts.challenge("fold")
-    h = hashlib.sha256()
-    ts = Transcript(vk.curve.fr.modulus, ["fold"])
-    for d in digests:
-        h.update(ts.point_bytes(d, p))
-    h.update(ts.fe_bytes(zeta))
-    h.update(ts.fe_bytes(zu))
-    for v in claimed:
-        h.update(ts.fe_bytes(v))
-    return int.from_bytes(h.digest(), "big") % vk.curve.fr.modulus
+    # gnark-crypto kzg deriveGamma: point, digests, claimed values,
+    # then the shifted-Z claimed value as extra transcript data
+    # (prove.go:828-836 BatchOpenSinglePoint call)
+    q = vk.curve.fr.modulus
+    nb = -(-q.bit_length() // 8)
+    return gnark_fs.kzg_fold_challenge(
+        vk.curve, q, zeta,
+        [None if d is host.INF else d for d in digests], claimed,
+        extra=(zu % q).to_bytes(nb, "big"))
 
 
 # ---------------------------------------------------------------------------
@@ -340,8 +303,10 @@ def _fold_challenge(vk, digests, zeta, zu, claimed,
 # ---------------------------------------------------------------------------
 
 def _h2f_bsb22(curve, point, recursion=False) -> int:
-    """Commitment challenge from a pi2 commitment (reference uses
-    hash_to_field with dst "BSB22-Plonk"; byte convention is ours)."""
+    """Commitment challenge from a pi2 commitment. Default: gnark's
+    fr/hash_to_field with dst "BSB22-Plonk" over the uncompressed
+    point bytes (prove.go:206-207,305-312) — bit-exact.
+    recursion: MiMC over the outer field (self-consistent)."""
     if recursion:
         from gnark_tpu.backend.transcript import mimc_point_writes
         from gnark_tpu.std.hash.mimc import MiMC
@@ -351,380 +316,28 @@ def _h2f_bsb22(curve, point, recursion=False) -> int:
             curve, None if point is host.INF else point, recursion))
         mask = (1 << (curve.fr.modulus.bit_length() - 8)) - 1
         return h.sum() & mask
-    h = hashlib.sha256(b"BSB22-Plonk")
-    nb = -(-curve.fp.modulus.bit_length() // 8)
-    if point is host.INF:
-        h.update(b"\x00" * (2 * nb))
-    else:
-        h.update(point[0].to_bytes(nb, "big"))
-        h.update(point[1].to_bytes(nb, "big"))
-    return int.from_bytes(h.digest(), "big") % curve.fr.modulus
+    return gnark_fs.bsb22_plonk_value(
+        curve, None if point is host.INF else point, curve.fr.modulus)
 
 
 def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
           rng=None, hint_overrides=None,
           recursion_friendly: bool = False,
-          statistical_zk: bool = False) -> PlonkProof:
-    """recursion_friendly: derive every Fiat-Shamir challenge with the
+          statistical_zk: bool = False) -> "PlonkProof":
+    """Prove on the device-resident pipeline (backend/plonk_device.py:
+    columns/NTTs/Z-scan/quotient/openings all on device; the host only
+    sequences Fiat-Shamir and O(1) scalars).
+
+    recursion_friendly: derive every Fiat-Shamir challenge with the
     MiMC transcript over the 2-chain outer field (reference
     backend.WithProverChallengeHashFunction + recursion.NewShort), so
-    std/recursion/plonk can recompute them in-circuit natively."""
-    vk = pk.vk
-    curve = vk.curve
-    q = curve.fr.modulus
-    N = vk.size
-    w = vk.generator
-    u = vk.coset_shift
-    rnd = rng.randrange if rng is not None else \
-        (lambda n: secrets.randbelow(n))
-    nb_pub = cs.nb_public
-    ntt = _Ntt(curve.fr, N)
-
-    # BSB22: override the commitment hint so committing REALLY commits
-    # (KZG commit of the pi2 Lagrange column + hash-to-field), like the
-    # reference's bsb22Hint (prove.go:268-311). Called in Define order,
-    # which matches cs.commitments order.
-    bsb22_pts: list = []       # pi2 commitments (host G1)
-    bsb22_vals: list = []      # challenge values
-    pi2_coeffs: list = []      # pi2 canonical coefficients
-
-    def _bsb22_prove_hint(q_, ins):
-        i = len(bsb22_pts)
-        cm = cs.commitments[i]
-        col = [0] * N
-        for row, v in zip(cm.committed_rows, ins):
-            col[nb_pub + row] = v % q
-        # blinding: the COMMITMENT row and the last constraint row have
-        # qcp == 0, so they are free randomizers (prove.go:293-297)
-        col[nb_pub + cm.commitment_row] = rnd(q)
-        col[nb_pub + cs.nb_constraints - 1] = rnd(q)
-        c = ntt.ifft(col)
-        pt = kzg_mod.commit(pk.srs, c)
-        val = _h2f_bsb22(curve, pt, recursion_friendly)
-        bsb22_pts.append(pt)
-        bsb22_vals.append(val)
-        pi2_coeffs.append(c)
-        return [val]
-
-    overrides = dict(hint_overrides or {})
-    if cs.commitments:
-        overrides["bsb22"] = _bsb22_prove_hint
-
-    sol = solve_auto(cs, public, secret, hint_overrides=overrides)
-    values = sol.values
-    publics = values[:nb_pub]
-
-    # L, R, O Lagrange vectors (solver.go:150-170 semantics; s0 = values[0])
-    s0 = values[0]
-    L = [s0] * N; R = [s0] * N; O = [s0] * N
-    for i in range(nb_pub):
-        L[i] = values[i]
-    off = nb_pub
-    for j, con in enumerate(cs.sparse):
-        L[off + j] = values[con.xa]
-        R[off + j] = values[con.xb]
-        O[off + j] = values[con.xo]
-
-    # complete qk with public inputs + commitment challenges
-    # (prove.go completeQk + :369-371)
-    qk_complete = list(pk.qk)
-    for i in range(nb_pub):
-        qk_complete[i] = values[i]
-    for i, cm in enumerate(cs.commitments):
-        qk_complete[nb_pub + cm.commitment_row] = bsb22_vals[i]
-
-    l_c = ntt.ifft(L)
-    r_c = ntt.ifft(R)
-    o_c = ntt.ifft(O)
-    qkc_coeffs = ntt.ifft(qk_complete)
-
-    # blinding (orders 1,1,1,2 — prove.go:71-76)
-    def blind(coeffs, order):
-        b = [rnd(q) for _ in range(order + 1)]
-        return _poly_add(coeffs, _mul_zh(b, N, q), q)
-
-    l_b = blind(l_c, 1)
-    r_b = blind(r_c, 1)
-    o_b = blind(o_c, 1)
-
-    c_l = kzg_mod.commit(pk.srs, l_b)
-    c_r = kzg_mod.commit(pk.srs, r_b)
-    c_o = kzg_mod.commit(pk.srs, o_b)
-
-    # Fiat-Shamir: gamma, beta
-    ts = _new_transcript(vk, recursion_friendly)
-    _bind_public_data(ts, vk, publics)
-    p_mod = curve.fp.modulus
-    for pt in (c_l, c_r, c_o):
-        ts.bind("gamma", ts.point_bytes(pt, p_mod))
-    gamma = ts.challenge("gamma")
-    beta = ts.challenge("beta")
-
-    # Z: ratio cumulative product (iop.BuildRatioCopyConstraint)
-    wpow = [1] * N
-    for i in range(1, N):
-        wpow[i] = wpow[i - 1] * w % q
-    nums = [0] * N
-    dens = [0] * N
-    for k in range(N):
-        nm = (L[k] + beta * wpow[k] + gamma) % q
-        nm = nm * ((R[k] + beta * u * wpow[k] + gamma) % q) % q
-        nm = nm * ((O[k] + beta * u * u % q * wpow[k] + gamma) % q) % q
-        dn = (L[k] + beta * pk.s1_vals[k] + gamma) % q
-        dn = dn * ((R[k] + beta * pk.s2_vals[k] + gamma) % q) % q
-        dn = dn * ((O[k] + beta * pk.s3_vals[k] + gamma) % q) % q
-        nums[k] = nm
-        dens[k] = dn
-    den_inv = _batch_inv(dens, q)     # Montgomery trick: 1 pow total
-    Z = [1] * N
-    for k in range(N - 1):
-        Z[k + 1] = Z[k] * nums[k] % q * den_inv[k] % q
-    z_c = ntt.ifft(Z)
-    z_b = blind(z_c, 2)
-    c_z = kzg_mod.commit(pk.srs, z_b)
-
-    # alpha binds the Bsb22 commitments then Z (verify.go:107-113)
-    for pt in bsb22_pts:
-        ts.bind("alpha", ts.point_bytes(pt, p_mod))
-    ts.bind("alpha", ts.point_bytes(c_z, p_mod))
-    alpha = ts.challenge("alpha")
-
-    # ---- quotient numerator ----
-    # deg H = 3N+5 must fit: 4N coset normally, 8N when N < 6
-    # (mirroring newInstance's small-size edge case)
-    N4 = 4 * N if N >= 6 else 8 * N
-    ntt4 = _Ntt(curve.fr, N4)
-    g = curve.fr.generator % q           # coset generator of domain1
-    ffr4 = ntt4.ff
-    w4 = curve.fr.root_of_unity(N4)
-    period = N4 // N
-    alpha2 = alpha * alpha % q
-    Ninv = pow(N, -1, q)
-
-    # Z(wX) coefficients
-    zs_coeffs = [0] * len(z_b)
-    wp = 1
-    for i, c in enumerate(z_b):
-        zs_coeffs[i] = c * wp % q
-        wp = wp * w % q
-
-    def _numerator(ff, cols, xd, zh_d, zhi_d, n_pts):
-        """The fused gate + ordering + L1 numerator, elementwise over
-        device columns of any length (shared by the one-shot 4N path
-        and the rho-pass N-sized chunks)."""
-        def dc(v):
-            one = ff.encode([v % q])
-            return jnp.broadcast_to(jnp.asarray(one),
-                                    (n_pts,) + one.shape[1:])
-        one_d = dc(1)
-        gamma_d = dc(gamma)
-        gate = ff.add(ff.mul(cols["ql"], cols["l"]),
-                      ff.mul(cols["qr"], cols["r"]))
-        gate = ff.add(gate, ff.mul(cols["qm"],
-                                   ff.mul(cols["l"], cols["r"])))
-        gate = ff.add(gate, ff.mul(cols["qo"], cols["o"]))
-        gate = ff.add(gate, cols["qk"])
-        bx = ff.mul(dc(beta), xd)
-        idp = ff.add(ff.add(cols["l"], bx), gamma_d)
-        idp = ff.mul(idp, ff.add(
-            ff.add(cols["r"], ff.mul(dc(u), bx)), gamma_d))
-        idp = ff.mul(idp, ff.add(
-            ff.add(cols["o"], ff.mul(dc(u * u % q), bx)), gamma_d))
-        beta_d = dc(beta)
-        sp = ff.add(ff.add(cols["l"], ff.mul(beta_d, cols["s1"])),
-                    gamma_d)
-        sp = ff.mul(sp, ff.add(
-            ff.add(cols["r"], ff.mul(beta_d, cols["s2"])), gamma_d))
-        sp = ff.mul(sp, ff.add(
-            ff.add(cols["o"], ff.mul(beta_d, cols["s3"])), gamma_d))
-        ordering = ff.sub(ff.mul(sp, cols["zs"]),
-                          ff.mul(idp, cols["z"]))
-        # L1(x) = ZH(x) / (N (x - 1))
-        xm1_inv = ff.batch_inv(ff.sub(xd, one_d))
-        l1 = ff.mul(ff.mul(zh_d, dc(Ninv)), xm1_inv)
-        local = ff.mul(l1, ff.sub(cols["z"], one_d))
-        numd = ff.add(gate, ff.mul(dc(alpha), ordering))
-        numd = ff.add(numd, ff.mul(dc(alpha2), local))
-        return ff.mul(numd, zhi_d)
-
-    col_coeffs = dict(l=l_b, r=r_b, o=o_b, z=z_b, zs=zs_coeffs,
-                      ql=pk.ql_coeffs, qr=pk.qr_coeffs,
-                      qm=pk.qm_coeffs, qo=pk.qo_coeffs,
-                      s1=pk.s1_coeffs, s2=pk.s2_coeffs,
-                      s3=pk.s3_coeffs)
-
-    import os as _os
-    rho_log = int(_os.environ.get("GNARK_TPU_PLONK_RHO_LOG", "14"))
-    use_rho = N >= (1 << rho_log) and period > 1
-
-    if not use_rho:
-        # one-shot: every column materialized on the full 4N coset
-        # (XLA fuses the elementwise chain after the coset NTTs)
-        def on_coset(coeffs):
-            c = list(coeffs) + [0] * (N4 - len(coeffs))
-            v = jnp.asarray(ffr4.encode([v % q for v in c]))
-            return ntt4.dom.fft(v, coset=True)
-
-        cols = {k: on_coset(v) for k, v in col_coeffs.items()}
-        qkx = on_coset(qkc_coeffs)
-        for qcp_c, pi2_c in zip(pk.qcp_coeffs, pi2_coeffs):
-            qkx = ffr4.add(qkx, ffr4.mul(on_coset(qcp_c),
-                                         on_coset(pi2_c)))
-        cols["qk"] = qkx
-        gN = pow(g, N, q)
-        w4N = pow(w4, N, q)
-        zh_vals = [(gN * pow(w4N, i, q) - 1) % q for i in range(period)]
-        zh_inv4 = [pow(v, -1, q) for v in zh_vals]
-        xs = [0] * N4
-        xi = g
-        for i in range(N4):
-            xs[i] = xi
-            xi = xi * w4 % q
-        xd = jnp.asarray(ffr4.encode(xs))
-        zh_d = jnp.asarray(ffr4.encode(
-            [zh_vals[i % period] for i in range(N4)]))
-        zhi_d = jnp.asarray(ffr4.encode(
-            [zh_inv4[i % period] for i in range(N4)]))
-        numd = _numerator(ffr4, cols, xd, zh_d, zhi_d, N4)
-    else:
-        # rho-pass (reference prove.go:936-1020 computeNumerator): the
-        # numerator is evaluated coset-shift by coset-shift on N-sized
-        # blocks — peak memory ~1 column set of N instead of 4N
-        dom1 = _Ntt(curve.fr, N)
-        wpows = [1] * N
-        for i in range(1, N):
-            wpows[i] = wpows[i - 1] * w % q
-        chunks = np.zeros((period, N, ffr4.n), dtype=np.uint32)
-        for sshift in range(period):
-            shift = g * pow(w4, sshift, q) % q
-            cN = pow(shift, N, q)
-            spows = [1] * N
-            for i in range(1, N):
-                spows[i] = spows[i - 1] * shift % q
-
-            def eval_shift(coeffs):
-                folded = [0] * N
-                cpow = 1
-                for blk in range(0, len(coeffs), N):
-                    for i, c in enumerate(coeffs[blk:blk + N]):
-                        folded[i] = (folded[i] + c * cpow) % q
-                    cpow = cpow * cN % q
-                scaled = [folded[i] * spows[i] % q for i in range(N)]
-                v = jnp.asarray(dom1.ff.encode(scaled))
-                return dom1.dom.fft(v)
-
-            cols = {k: eval_shift(v) for k, v in col_coeffs.items()}
-            qkx = eval_shift(qkc_coeffs)
-            for qcp_c, pi2_c in zip(pk.qcp_coeffs, pi2_coeffs):
-                qkx = dom1.ff.add(qkx, dom1.ff.mul(
-                    eval_shift(qcp_c), eval_shift(pi2_c)))
-            cols["qk"] = qkx
-            xs = [shift * wpows[j] % q for j in range(N)]
-            xd = jnp.asarray(dom1.ff.encode(xs))
-            zh_c = (cN - 1) % q
-            zhi_c = pow(zh_c, -1, q)
-            zh_d = jnp.asarray(dom1.ff.encode([zh_c] * N))
-            zhi_d = jnp.asarray(dom1.ff.encode([zhi_c] * N))
-            chunks[sshift] = np.asarray(
-                _numerator(dom1.ff, cols, xd, zh_d, zhi_d, N))
-        # interleave: global point i = j*period + s -> chunk s, pos j
-        inter = np.transpose(chunks, (1, 0, 2)).reshape(N4, ffr4.n)
-        numd = jnp.asarray(inter)
-
-    out = ffr4.decode(np.asarray(ntt4.dom.ifft(numd, coset=True)))
-    h_coeffs = [int(v) for v in out]
-    # h has at most 3(N+2) meaningful coeffs — split in 3 shards of N+2
-    shard = N + 2
-    h0 = h_coeffs[:shard]
-    h1 = h_coeffs[shard:2 * shard]
-    h2 = h_coeffs[2 * shard:3 * shard]
-    assert all(v == 0 for v in h_coeffs[3 * shard:]), "quotient degree bound"
-    if statistical_zk:
-        # quotient shard randomizers (reference prove.go:238-242 w/
-        # StatisticalZK): h0 += b1 X^(N+2); h1 += -b1 + b2 X^(N+2);
-        # h2 -= b2 — the zeta^(N+2)-weighted fold telescopes them away,
-        # so verification is unchanged while the individual shard
-        # commitments are statistically hiding
-        b1, b2 = rnd(q), rnd(q)
-        h0 = list(h0) + [0] * (shard + 1 - len(h0))
-        h1 = list(h1) + [0] * (shard + 1 - len(h1))
-        h2 = list(h2) + [0] * max(0, 1 - len(h2))
-        h0[shard] = (h0[shard] + b1) % q
-        h1[0] = (h1[0] - b1) % q
-        h1[shard] = (h1[shard] + b2) % q
-        h2[0] = (h2[0] - b2) % q
-    c_h0 = kzg_mod.commit(pk.srs, h0 or [0])
-    c_h1 = kzg_mod.commit(pk.srs, h1 or [0])
-    c_h2 = kzg_mod.commit(pk.srs, h2 or [0])
-
-    for pt in (c_h0, c_h1, c_h2):
-        ts.bind("zeta", ts.point_bytes(pt, p_mod))
-    zeta = ts.challenge("zeta")
-
-    # ---- evaluations & linearized polynomial ----
-    lz = _poly_eval(l_b, zeta, q)
-    rz = _poly_eval(r_b, zeta, q)
-    oz = _poly_eval(o_b, zeta, q)
-    s1z = _poly_eval(pk.s1_coeffs, zeta, q)
-    s2z = _poly_eval(pk.s2_coeffs, zeta, q)
-    qcpz = [_poly_eval(c, zeta, q) for c in pk.qcp_coeffs]
-    wzeta = w * zeta % q
-    zu = _poly_eval(z_b, wzeta, q)
-
-    zeta_n = pow(zeta, N, q)
-    zh_zeta = (zeta_n - 1) % q
-    l1_zeta = zh_zeta * pow((zeta - 1) % q, -1, q) % q * Ninv % q
-    a2l1 = alpha2 * l1_zeta % q
-
-    # _s1 = alpha*beta*(l+b s1+g)(r+b s2+g)*zu ; coeffZ = a2l1 - alpha*idprod
-    t1 = (lz + beta * s1z + gamma) % q
-    t2 = (rz + beta * s2z + gamma) % q
-    _s1 = alpha * beta % q * t1 % q * t2 % q * zu % q
-    idp = (lz + beta * zeta + gamma) % q
-    idp = idp * ((rz + beta * u % q * zeta + gamma) % q) % q
-    idp = idp * ((oz + beta * u % q * u % q * zeta + gamma) % q) % q
-    coeff_z = (a2l1 - alpha * idp) % q
-
-    rl = lz * rz % q
-    zp2 = pow(zeta, N + 2, q)
-    lin = _poly_scale(pk.ql_coeffs, lz, q)
-    lin = _poly_add(lin, _poly_scale(pk.qr_coeffs, rz, q), q)
-    lin = _poly_add(lin, _poly_scale(pk.qm_coeffs, rl, q), q)
-    lin = _poly_add(lin, _poly_scale(pk.qo_coeffs, oz, q), q)
-    lin = _poly_add(lin, pk.qk_coeffs, q)
-    for qz, pi2_c in zip(qcpz, pi2_coeffs):   # + sum qcp_i(z)*pi2_i(X)
-        lin = _poly_add(lin, _poly_scale(pi2_c, qz, q), q)
-    lin = _poly_add(lin, _poly_scale(pk.s3_coeffs, _s1, q), q)
-    lin = _poly_add(lin, _poly_scale(z_b, coeff_z, q), q)
-    hfold = _poly_add(h0, _poly_scale(h1, zp2, q), q)
-    hfold = _poly_add(hfold, _poly_scale(h2, zp2 * zp2 % q, q), q)
-    lin = _poly_add(lin, _poly_scale(hfold, (q - zh_zeta) % q, q), q)
-
-    lin_zeta = _poly_eval(lin, zeta, q)
-
-    # ---- openings ----
-    # Z at omega*zeta
-    z_open = kzg_mod.open_at(pk.srs, z_b, wzeta)
-    assert z_open.claimed_value == zu
-
-    # batch open [lin, l, r, o, s1, s2, qcp...] at zeta
-    lin_digest = _lin_digest_prover(pk, vk, c_z, (c_h0, c_h1, c_h2),
-                                    lz, rz, oz, _s1, coeff_z, zh_zeta, zp2,
-                                    bsb22_pts, qcpz)
-    digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]] \
-        + list(vk.qcp_c)
-    claimed = [lin_zeta, lz, rz, oz, s1z, s2z] + qcpz
-    fold_ch = _fold_challenge(vk, digests, zeta, zu, claimed,
-                              recursion_friendly)
-    batch = kzg_mod.batch_open_single_point(
-        pk.srs, [lin, l_b, r_b, o_b, pk.s1_coeffs, pk.s2_coeffs]
-        + list(pk.qcp_coeffs),
-        zeta, fold_ch)
-    assert batch.claimed_values == claimed
-
-    return PlonkProof(lro=[c_l, c_r, c_o], z=c_z, h=[c_h0, c_h1, c_h2],
-                      batched_h=batch.h, claimed=claimed,
-                      z_shift_h=z_open.h, zu=zu, bsb22=bsb22_pts)
+    std/recursion/plonk can recompute them in-circuit natively.
+    Default: gnark-bit-exact sha256 transcript (gnark_fs.py)."""
+    from gnark_tpu.backend import plonk_device
+    return plonk_device.prove(
+        cs, pk, public, secret, rng=rng, hint_overrides=hint_overrides,
+        recursion_friendly=recursion_friendly,
+        statistical_zk=statistical_zk)
 
 
 def _lin_digest_prover(pk, vk, c_z, c_h, lz, rz, oz, _s1, coeff_z,

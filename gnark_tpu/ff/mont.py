@@ -303,8 +303,25 @@ class FF:
         return self.pow_bits(a, jnp.asarray(self.pm2_bits))
 
     def batch_inv(self, a):
-        """Alias — Fermat is already batch-parallel on TPU."""
-        return self.inv(a)
+        """Montgomery batch inversion on device: two parallel prefix/
+        suffix product scans + ONE Fermat inversion of the total
+        product (vs inv()'s ~2*bits muls per element). Zero entries
+        invert to zero like gnark's BatchInvert (they are masked to 1
+        for the scans and zeroed in the output)."""
+        if a.ndim != 2 or a.shape[0] < 4:
+            return self.inv(a)
+        z = self.is_zero(a)
+        ones = jnp.broadcast_to(jnp.asarray(self.one_np), a.shape)
+        ax = self.select(z, ones, a)
+        pref = jax.lax.associative_scan(self.mul, ax, axis=0)
+        suf = jax.lax.associative_scan(self.mul, ax, axis=0,
+                                       reverse=True)
+        tinv = self.inv(pref[-1:])
+        pe = jnp.concatenate([ones[:1], pref[:-1]], axis=0)
+        se = jnp.concatenate([suf[1:], ones[:1]], axis=0)
+        out = self.mul(self.mul(pe, se),
+                       jnp.broadcast_to(tinv, a.shape))
+        return self.select(z, jnp.zeros_like(a), out)
 
 
 @functools.lru_cache(maxsize=None)

@@ -111,14 +111,16 @@ def test_plonk_rangecheck_commitment():
         x: Secret
 
         def define(self, api):
-            check_many_logderiv(api, [self.x], 16)
+            # 2^12-entry table (a 2^16 one costs 393k constraints /
+            # N=2^19 — same code path, 16x the test time)
+            check_many_logderiv(api, [self.x], 12)
 
     cs = compile_circuit(RC(), fields.BN254_FR, builder_cls=SCSBuilder)
     assert cs.commitments, "commit-mode rangecheck must use api.commit"
     srs = kzg.setup_srs("bn254", 2 * cs.nb_constraints + 16,
                         rng=random.Random(7))
     pk, vk = plonk.setup(cs, srs)
-    pub, sec = witness(RC(x=65535), cs)
+    pub, sec = witness(RC(x=4095), cs)
     proof = plonk.prove(cs, pk, pub, sec, rng=random.Random(2))
     assert plonk.verify(proof, vk, pub)
 
