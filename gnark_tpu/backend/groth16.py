@@ -372,6 +372,49 @@ def _to_affine_jit(f, P):
     return jac_to_affine(f, P)
 
 
+@functools.lru_cache(maxsize=None)
+def _g1_stage_fn(fr_name: str, fp_name: str, N: int, nb_pub: int,
+                 nbits: int):
+    """ONE dispatch for the whole G1 side of prove: computeH
+    (3 iFFT + 3 coset-FFT + pointwise + coset-iFFT) feeding the four
+    G1 MSMs (Ar, Bs1, Krs2, Krs) and a batched jacobian->affine
+    (prove.go:187-305 task-parallel goroutines collapse into one XLA
+    program; the tunnel's per-call latency made 7 eager dispatches the
+    dominant prove cost)."""
+    from gnark_tpu.ntt import get_domain
+    ffr = get_ff(fr_name)
+    ffp = get_ff(fp_name)
+    dom = get_domain(ffr, N)
+
+    @jax.jit
+    def f(av, bv, cv, den_m, wire_limbs, g1_a, g1_b, g1_z, g1_k):
+        ac = dom.fft(dom.ifft(av), coset=True)
+        bc = dom.fft(dom.ifft(bv), coset=True)
+        cc = dom.fft(dom.ifft(cv), coset=True)
+        hval = ffr.mul(ffr.sub(ffr.mul(ac, bc), cc), den_m)
+        h_plain = ffr.from_mont(dom.ifft(hval, coset=True))
+        ar = msm(ffp, g1_a, wire_limbs, nbits)
+        bs1 = msm(ffp, g1_b, wire_limbs, nbits)
+        zp = tuple(a[: N - 1] for a in g1_z)
+        krs2 = msm(ffp, zp, h_plain[: N - 1], nbits)
+        krs = msm(ffp, g1_k, wire_limbs[nb_pub:], nbits)
+        batch = tuple(jnp.stack(t) for t in zip(ar, bs1, krs2, krs))
+        return jac_to_affine(ffp, batch)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _g2_stage_fn(curve_name: str, nbits: int):
+    curve = curves_mod.CURVES[curve_name]
+    ff2 = _g2_field(curve)
+
+    @jax.jit
+    def f(g2_b, wire_limbs):
+        r = msm(ff2, g2_b, wire_limbs, nbits)
+        return jac_to_affine(ff2, _tup1(r))
+    return f
+
+
 def _g1_base(ffp, curve):
     return (jnp.asarray(ffp.encode(curve.g1[0])),
             jnp.asarray(ffp.encode(curve.g1[1])))
@@ -456,11 +499,7 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
         cv = jnp.asarray(ffr.encode(sol.c + [0] * pad))
     den = pow(pow(curve.fr.generator, N, q) - 1, -1, q)
     den_m = jnp.asarray(ffr.encode([den]))
-    h_plain = _compute_h_fn(curve.fr.name, N)(av, bv, cv, den_m)
-    h_plain.block_until_ready()
-    _mark("computeH")
 
-    # --- MSMs (prove.go:187-305) ---
     vals_u64 = getattr(sol, "values_u64", None)
     if vals_u64 is not None:
         wire_limbs = jnp.asarray(ffr.encode_u64(vals_u64, mont=False))
@@ -469,7 +508,16 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     nbits = curve.fr.bits
 
     if mesh is None:
-        _msm = msm
+        # fused single-dispatch G1 side + single-dispatch G2 side
+        g1_aff = _decode_affine(ffp, _g1_stage_fn(
+            curve.fr.name, curve.fp.name, N, cs.nb_public, nbits)(
+            av, bv, cv, den_m, wire_limbs, pk.g1_a, pk.g1_b,
+            pk.g1_z, pk.g1_k))
+        ar_m, bs1_m, krs2_m, krs_m = g1_aff
+        _mark("computeH+G1 msm")
+        bs2_m = _decode_affine(ff2, _g2_stage_fn(curve.name, nbits)(
+            pk.g2_b, wire_limbs))[0]
+        _mark("G2 msm")
     else:
         from gnark_tpu.parallel import msm_sharded
 
@@ -490,26 +538,26 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
             return msm_sharded(f, (x_, y_, inf_), sc, nb, mesh,
                                axis=mesh_axis)
 
-    ar_j = _msm(ffp, pk.g1_a, wire_limbs, nbits)
-    bs1_j = _msm(ffp, pk.g1_b, wire_limbs, nbits)
-    bs2_j = _msm(ff2, pk.g2_b, wire_limbs, nbits)
-    # deg(H) = n-2: last Z point unused (prove.go:221 sizeH)
-    z_pts = tuple(a[: N - 1] for a in pk.g1_z)
-    krs2_j = _msm(ffp, z_pts, h_plain[: N - 1], nbits)
-    priv_limbs = wire_limbs[cs.nb_public:]
-    krs_j = _msm(ffp, pk.g1_k, priv_limbs, nbits)
-    jax.block_until_ready((ar_j, bs1_j, bs2_j, krs2_j, krs_j))
-    _mark("msm x5")
-
-    # ONE batched jacobian->affine for the four G1 results plus one
-    # for G2 (each eager conversion is a multi-second dispatch chain
-    # over the axon tunnel; batching makes it 2 jitted calls)
-    g1_batch = tuple(jnp.stack([a, b, c, d])
-                     for a, b, c, d in zip(ar_j, bs1_j, krs2_j, krs_j))
-    g1_aff = _decode_affine(ffp, _to_affine_jit(ffp, g1_batch))
-    ar_m, bs1_m, krs2_m, krs_m = g1_aff
-    bs2_m = _decode_affine(ff2, _to_affine_jit(ff2, _tup1(bs2_j)))[0]
-    _mark("to_affine")
+        h_plain = _compute_h_fn(curve.fr.name, N)(av, bv, cv, den_m)
+        _mark("computeH")
+        ar_j = _msm(ffp, pk.g1_a, wire_limbs, nbits)
+        bs1_j = _msm(ffp, pk.g1_b, wire_limbs, nbits)
+        bs2_j = _msm(ff2, pk.g2_b, wire_limbs, nbits)
+        # deg(H) = n-2: last Z point unused (prove.go:221 sizeH)
+        z_pts = tuple(a[: N - 1] for a in pk.g1_z)
+        krs2_j = _msm(ffp, z_pts, h_plain[: N - 1], nbits)
+        priv_limbs = wire_limbs[cs.nb_public:]
+        krs_j = _msm(ffp, pk.g1_k, priv_limbs, nbits)
+        jax.block_until_ready((ar_j, bs1_j, bs2_j, krs2_j, krs_j))
+        _mark("msm x5")
+        g1_batch = tuple(jnp.stack([a, b, c, d])
+                         for a, b, c, d in zip(ar_j, bs1_j, krs2_j,
+                                               krs_j))
+        g1_aff = _decode_affine(ffp, _to_affine_jit(ffp, g1_batch))
+        ar_m, bs1_m, krs2_m, krs_m = g1_aff
+        bs2_m = _decode_affine(ff2, _to_affine_jit(ff2,
+                                                   _tup1(bs2_j)))[0]
+        _mark("to_affine")
 
     # --- host combination (tiny) ---
     f2h = curve.host_g2_field

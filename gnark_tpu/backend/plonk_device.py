@@ -154,6 +154,300 @@ def _encode_col_u64(ff, values_u64, idx):
 
 
 # ---------------------------------------------------------------------------
+# jitted pipeline stages
+#
+# The tunnel/dispatch latency between host and TPU (~hundreds of ms per
+# call over axon) dominates an eager op-by-op prover, so the pipeline
+# is fused into FIVE jitted stages — one per Fiat-Shamir sync point
+# (the reference's 9 goroutine stages collapse onto these barriers):
+#   1 columns: ifft + blind + 3 commits          -> bind gamma
+#   2 Z:       ratio scan + ifft + blind + commit -> bind alpha
+#   3 quotient: coset numerator + split + 3 commits -> bind zeta
+#   4 evals:   all claimed values + linearized poly (device scalars)
+#   5 open:    fold + 2 evaluate-and-divide quotients + 2 commits
+# All proof-varying scalars enter as device arrays so one compiled
+# stage serves every proof of a given (N, nb_qcp) shape.
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+def _enc1(ff, v):
+    """host int -> (1, L) Montgomery device array."""
+    return jnp.asarray(ff.encode([v % ff.p.modulus]))
+
+
+def dev_powers_t(ff, base_1l, n: int):
+    """[1, b, ..., b^(n-1)] for a TRACED base (1, L) array."""
+    one = jnp.asarray(ff.encode([1]))
+    b = jnp.concatenate([one, jnp.broadcast_to(base_1l,
+                                               (n - 1,) + base_1l.shape[1:])])
+    return jax.lax.associative_scan(ff.mul, b, axis=0)
+
+
+def _pow_static(ff, a_1l, e: int):
+    """a^e for a traced (1, L) base and STATIC exponent (square chain,
+    unrolled at trace time)."""
+    r = None
+    base = a_1l
+    while e:
+        if e & 1:
+            r = base if r is None else ff.mul(r, base)
+        base = ff.mul(base, base)
+        e >>= 1
+    return r if r is not None else jnp.asarray(ff.encode([1]))
+
+
+def _blind_jit(ff, c_dev, b):
+    """c(X) + b(X)*(X^N - 1) where c has exactly N coeffs and b is
+    (order+1, L): concat(c[:o]-b, c[o:], b)."""
+    o = b.shape[0]
+    low = ff.sub(c_dev[:o], b)
+    return jnp.concatenate([low, c_dev[o:], b], axis=0)
+
+
+def _commit_jit(ff, srs_pts, coeffs_mont, nbits: int):
+    """device Jacobian KZG commit of Montgomery coeffs."""
+    n = coeffs_mont.shape[0]
+    pts = tuple(a[:n] for a in srs_pts)
+    return kzg_mod.msm(_ffp_of(ff), pts, ff.from_mont(coeffs_mont),
+                       nbits)
+
+
+@functools.lru_cache(maxsize=None)
+def _ffp_name_for(fr_name: str) -> str:
+    from gnark_tpu.ec.curves import CURVES
+    for c in CURVES.values():
+        if c.fr.name == fr_name:
+            return c.fp.name
+    raise KeyError(fr_name)
+
+
+def _ffp_of(ff):
+    return get_ff(_ffp_name_for(ff.p.name))
+
+
+@functools.partial(jax.jit, static_argnames=("ff", "dom", "nbits"))
+def _s1_lro(ff, dom, L_dev, R_dev, O_dev, blinds, srs_pts, nbits):
+    outs = []
+    jacs = []
+    for col, b in zip((L_dev, R_dev, O_dev), blinds):
+        cb = _blind_jit(ff, dom.ifft(col), b)
+        outs.append(cb)
+        jacs.append(_commit_jit(ff, srs_pts, cb, nbits))
+    return tuple(outs), tuple(jacs)
+
+
+@functools.partial(jax.jit, static_argnames=("ff", "dom", "u", "nbits"))
+def _s2_z(ff, dom, L_dev, R_dev, O_dev, s1v, s2v, s3v, wpow,
+          beta_e, gamma_e, zb, srs_pts, u: int, nbits: int):
+    q = ff.p.modulus
+    N = L_dev.shape[0]
+    bx = ff.mul(beta_e, wpow)
+    g_d = jnp.broadcast_to(gamma_e, L_dev.shape)
+    u_e = _enc1(ff, u)
+    u2_e = _enc1(ff, u * u % q)
+    nm = ff.add(ff.add(L_dev, bx), g_d)
+    nm = ff.mul(nm, ff.add(ff.add(R_dev, ff.mul(u_e, bx)), g_d))
+    nm = ff.mul(nm, ff.add(ff.add(O_dev, ff.mul(u2_e, bx)), g_d))
+    dn = ff.add(ff.add(L_dev, ff.mul(beta_e, s1v)), g_d)
+    dn = ff.mul(dn, ff.add(ff.add(R_dev, ff.mul(beta_e, s2v)), g_d))
+    dn = ff.mul(dn, ff.add(ff.add(O_dev, ff.mul(beta_e, s3v)), g_d))
+    ratio = ff.mul(nm, ff.batch_inv(dn))
+    scan = jax.lax.associative_scan(ff.mul, ratio, axis=0)
+    one = jnp.asarray(ff.encode([1]))
+    z_lag = jnp.concatenate([one, scan[: N - 1]], axis=0)
+    z_b = _blind_jit(ff, dom.ifft(z_lag), zb)
+    return z_b, _commit_jit(ff, srs_pts, z_b, nbits)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ff", "dom4", "period", "nbits"))
+def _s3_quotient(ff, dom4, cols, qkc, qcps, pi2s, xd, zh_d, zhi_d,
+                 scal, szk, srs_pts, period: int, nbits: int):
+    """One-shot coset quotient + shard split (+ StatisticalZK
+    randomizers, zero when disabled) + 3 commits.
+
+    cols: dict of coeff arrays; scal: dict of (1, L) device scalars;
+    szk: (2, L) randomizers."""
+    N4 = xd.shape[0]
+    N = N4 // period
+    shard = N + 2
+
+    def on_coset(cdev):
+        c = jnp.pad(cdev, ((0, N4 - cdev.shape[0]), (0, 0)))
+        return dom4.fft(c, coset=True)
+
+    ev = {k: on_coset(v) for k, v in cols.items()}
+    qkx = on_coset(qkc)
+    for qcp_c, pi2_c in zip(qcps, pi2s):
+        qkx = ff.add(qkx, ff.mul(on_coset(qcp_c), on_coset(pi2_c)))
+    ev["qk"] = qkx
+    numd = _numerator_t(ff, ev, xd, zh_d, zhi_d, scal)
+    h_dev = dom4.ifft(numd, coset=True)
+
+    h0 = jnp.pad(h_dev[:shard], ((0, 1), (0, 0)))
+    h1 = jnp.pad(h_dev[shard:2 * shard], ((0, 1), (0, 0)))
+    h2 = h_dev[2 * shard:3 * shard]
+    # h0 += b1 X^shard ; h1 += -b1 + b2 X^shard ; h2 -= b2
+    b1 = szk[0:1]
+    b2 = szk[1:2]
+    h0 = h0.at[shard].set(ff.add(h0[shard:shard + 1], b1)[0])
+    h1 = h1.at[0].set(ff.sub(h1[0:1], b1)[0])
+    h1 = h1.at[shard].set(ff.add(h1[shard:shard + 1], b2)[0])
+    h2 = h2.at[0].set(ff.sub(h2[0:1], b2)[0])
+    jacs = tuple(_commit_jit(ff, srs_pts, h, nbits)
+                 for h in (h0, h1, h2))
+    return (h0, h1, h2), jacs
+
+
+def _numerator_t(ff, cols, xd, zh_d, zhi_d, s):
+    """_numerator with TRACED (1, L) scalar arrays instead of host
+    ints (same math, prove.go:1040-1106)."""
+    n_pts = xd.shape[0]
+
+    def bc(a):
+        return jnp.broadcast_to(a, (n_pts,) + a.shape[1:])
+
+    one_d = bc(jnp.asarray(ff.encode([1])))
+    gamma_d = bc(s["gamma"])
+    gate = ff.add(ff.mul(cols["ql"], cols["l"]),
+                  ff.mul(cols["qr"], cols["r"]))
+    gate = ff.add(gate, ff.mul(cols["qm"], ff.mul(cols["l"], cols["r"])))
+    gate = ff.add(gate, ff.mul(cols["qo"], cols["o"]))
+    gate = ff.add(gate, cols["qk"])
+    bx = ff.mul(bc(s["beta"]), xd)
+    idp = ff.add(ff.add(cols["l"], bx), gamma_d)
+    idp = ff.mul(idp, ff.add(ff.add(cols["r"], ff.mul(bc(s["u"]), bx)),
+                             gamma_d))
+    idp = ff.mul(idp, ff.add(ff.add(cols["o"], ff.mul(bc(s["u2"]), bx)),
+                             gamma_d))
+    beta_d = bc(s["beta"])
+    sp = ff.add(ff.add(cols["l"], ff.mul(beta_d, cols["s1"])), gamma_d)
+    sp = ff.mul(sp, ff.add(ff.add(cols["r"], ff.mul(beta_d, cols["s2"])),
+                           gamma_d))
+    sp = ff.mul(sp, ff.add(ff.add(cols["o"], ff.mul(beta_d, cols["s3"])),
+                           gamma_d))
+    ordering = ff.sub(ff.mul(sp, cols["zs"]), ff.mul(idp, cols["z"]))
+    xm1_inv = ff.batch_inv(ff.sub(xd, one_d))
+    l1 = ff.mul(ff.mul(zh_d, bc(s["Ninv"])), xm1_inv)
+    local = ff.mul(l1, ff.sub(cols["z"], one_d))
+    numd = ff.add(gate, ff.mul(bc(s["alpha"]), ordering))
+    numd = ff.add(numd, ff.mul(bc(s["alpha2"]), local))
+    return ff.mul(numd, zhi_d)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ff", "N", "w", "u", "Ninv"))
+def _s4_evals(ff, polys, zeta_e, beta_e, gamma_e, alpha_e,
+              N: int, w: int, u: int, Ninv: int):
+    """All claimed evaluations + the linearized polynomial, on device.
+
+    polys: dict with l, r, o, z, s1, s2, s3, ql, qr, qm, qo, qk,
+    qcps (tuple), pi2s (tuple), h0, h1, h2.
+    Returns (claimed (6+nqcp, L), lin coeffs, zu (1, L))."""
+    q = ff.p.modulus
+    maxlen = max(p.shape[0] for p in
+                 (polys["l"], polys["h0"], polys["z"]))
+    zpows = dev_powers_t(ff, zeta_e, maxlen)
+
+    def ev(p, pw=None):
+        pw = zpows if pw is None else pw
+        n = p.shape[0]
+        return ff_sum(ff, ff.mul(p, pw[:n]))[None, :]
+
+    lz = ev(polys["l"])
+    rz = ev(polys["r"])
+    oz = ev(polys["o"])
+    s1z = ev(polys["s1"])
+    s2z = ev(polys["s2"])
+    qcpz = [ev(c) for c in polys["qcps"]]
+    wz_e = ff.mul(_enc1(ff, w), zeta_e)
+    wpows = dev_powers_t(ff, wz_e, polys["z"].shape[0])
+    zu = ev(polys["z"], wpows)
+
+    zeta_n = _pow_static(ff, zeta_e, N)
+    one = jnp.asarray(ff.encode([1]))
+    zh_zeta = ff.sub(zeta_n, one)
+    l1_zeta = ff.mul(ff.mul(zh_zeta, ff.inv(ff.sub(zeta_e, one))),
+                     _enc1(ff, Ninv))
+    alpha2 = ff.mul(alpha_e, alpha_e)
+    a2l1 = ff.mul(alpha2, l1_zeta)
+
+    t1 = ff.add(ff.add(lz, ff.mul(beta_e, s1z)), gamma_e)
+    t2 = ff.add(ff.add(rz, ff.mul(beta_e, s2z)), gamma_e)
+    s1c = ff.mul(ff.mul(ff.mul(alpha_e, beta_e), ff.mul(t1, t2)), zu)
+    u_e = _enc1(ff, u)
+    u2_e = _enc1(ff, u * u % q)
+    bz = ff.mul(beta_e, zeta_e)
+    idp = ff.add(ff.add(lz, bz), gamma_e)
+    idp = ff.mul(idp, ff.add(ff.add(rz, ff.mul(u_e, bz)), gamma_e))
+    idp = ff.mul(idp, ff.add(ff.add(oz, ff.mul(u2_e, bz)), gamma_e))
+    coeff_z = ff.sub(a2l1, ff.mul(alpha_e, idp))
+
+    rl = ff.mul(lz, rz)
+    zp2 = _pow_static(ff, zeta_e, N + 2)
+    zh = ff.neg(zh_zeta)
+    zhp = ff.mul(zh, zp2)
+    zhp2 = ff.mul(zhp, zp2)
+
+    lin_polys = [polys["ql"], polys["qr"], polys["qm"], polys["qo"],
+                 polys["qk"]] + list(polys["pi2s"])         + [polys["s3"], polys["z"], polys["h0"], polys["h1"],
+           polys["h2"]]
+    lin_scals = [lz, rz, rl, oz, one] + qcpz         + [s1c, coeff_z, zh, zhp, zhp2]
+    m = max(p.shape[0] for p in lin_polys)
+    lin = None
+    for p, sc in zip(lin_polys, lin_scals):
+        if p.shape[0] < m:
+            p = jnp.pad(p, ((0, m - p.shape[0]), (0, 0)))
+        t = ff.mul(p, jnp.broadcast_to(sc, p.shape))
+        lin = t if lin is None else ff.add(lin, t)
+    lin_z = ev(lin)
+
+    claimed = jnp.concatenate([lin_z, lz, rz, oz, s1z, s2z] + qcpz,
+                              axis=0)
+    return claimed, lin, zu
+
+
+@functools.partial(jax.jit, static_argnames=("ff", "dom2", "nbits"))
+def _s5_open(ff, dom2, xs2, open_polys, fold_scals, zeta_e, fclaim_e,
+             z_b, wz_e, zu_e, srs_pts, nbits: int):
+    """Fold the opened polys, compute both evaluate-and-divide opening
+    quotients, commit each."""
+    m = max(p.shape[0] for p in open_polys)
+    folded = None
+    for p, sc in zip(open_polys, fold_scals):
+        if p.shape[0] < m:
+            p = jnp.pad(p, ((0, m - p.shape[0]), (0, 0)))
+        t = ff.mul(p, jnp.broadcast_to(sc[None, :], p.shape))
+        folded = t if folded is None else ff.add(folded, t)
+
+    def quotient(coeffs, z_1l, v_1l):
+        n2 = xs2.shape[0]
+        c = jnp.pad(coeffs, ((0, n2 - coeffs.shape[0]), (0, 0)))
+        evs = dom2.fft(c)
+        z_d = jnp.broadcast_to(z_1l, xs2.shape)
+        v_d = jnp.broadcast_to(v_1l, xs2.shape)
+        return dom2.ifft(ff.mul(ff.sub(evs, v_d),
+                                ff.batch_inv(ff.sub(xs2, z_d))))
+
+    bq = quotient(folded, zeta_e, fclaim_e)[:m]
+    zq = quotient(z_b, wz_e, zu_e)[: z_b.shape[0]]
+    return (_commit_jit(ff, srs_pts, bq, nbits),
+            _commit_jit(ff, srs_pts, zq, nbits))
+
+
+def _decode_jacs(curve, jacs):
+    """Batch-decode device Jacobian points -> host affine."""
+    from gnark_tpu.backend.groth16 import _decode_affine
+    from gnark_tpu.ec.weierstrass import jac_to_affine
+    ffp = get_ff(curve.fp.name)
+    stacked = tuple(jnp.stack([j[i] for j in jacs])
+                    for i in range(3))
+    return list(_decode_affine(ffp, jac_to_affine(ffp, stacked)))
+
+
+# ---------------------------------------------------------------------------
 # prove
 # ---------------------------------------------------------------------------
 
@@ -173,6 +467,8 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
     nb_pub = cs.nb_public
     ffr = get_ff(curve.fr.name)
     dom = get_domain(ffr, N)
+    nbits = curve.fr.bits
+    srs_pts = pk.srs.g1_powers
 
     import time as _time
     from gnark_tpu.logger import get_logger
@@ -240,39 +536,14 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
         jnp.asarray(ffr.encode(qk_vals)))
     qkc_dev = dom.ifft(qk_dev)
 
-    l_c = dom.ifft(L_dev)
-    r_c = dom.ifft(R_dev)
-    o_c = dom.ifft(O_dev)
-    _mark("columns+ifft")
-
-    # --- blinding (orders 1,1,1,2 — prove.go:71-76) -------------------------
-    def blind_ff(coeffs_dev, order):
-        b = [rnd(q) for _ in range(order + 1)]
-        m = N + order + 1
-        out = jnp.pad(coeffs_dev, ((0, m - coeffs_dev.shape[0]), (0, 0)))
-        add_vec = [0] * m
-        for i, bv in enumerate(b):
-            add_vec[i] = (add_vec[i] - bv) % q
-            add_vec[N + i] = (add_vec[N + i] + bv) % q
-        return ff_sparse_add(ffr, out, add_vec)
-
-    def ff_sparse_add(ff, dev_arr, host_vec):
-        nz = [(i, v) for i, v in enumerate(host_vec) if v]
-        if not nz:
-            return dev_arr
-        ii = jnp.asarray([i for i, _ in nz], dtype=jnp.int32)
-        vv = jnp.asarray(ff.encode([v for _, v in nz]))
-        upd = ff.add(dev_arr[ii], vv)
-        return dev_arr.at[ii].set(upd)
-
-    l_b = blind_ff(l_c, 1)
-    r_b = blind_ff(r_c, 1)
-    o_b = blind_ff(o_c, 1)
-
-    c_l = commit_dev(pk.srs, l_b)
-    c_r = commit_dev(pk.srs, r_b)
-    c_o = commit_dev(pk.srs, o_b)
-    _mark("commit LRO")
+    # --- stage 1: columns + commits (one dispatch) --------------------------
+    blinds = jnp.asarray(ffr.encode(
+        [[rnd(q), rnd(q)] for _ in range(3)]))     # orders 1,1,1
+    (l_b, r_b, o_b), jac_lro = _s1_lro(
+        ff=ffr, dom=dom, L_dev=L_dev, R_dev=R_dev, O_dev=O_dev,
+        blinds=blinds, srs_pts=srs_pts, nbits=nbits)
+    c_l, c_r, c_o = _decode_jacs(curve, jac_lro)
+    _mark("columns+LRO")
 
     # --- gamma, beta ---------------------------------------------------------
     ts = P._new_transcript(vk, recursion_friendly)
@@ -283,12 +554,15 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
     gamma = ts.challenge("gamma")
     beta = ts.challenge("beta")
 
-    # --- Z ratio cumulative product (device) --------------------------------
-    z_lag = _z_column(ffr, dom, L_dev, R_dev, O_dev, dev, beta, gamma,
-                      u, N)
-    z_c = dom.ifft(z_lag)
-    z_b = blind_ff(z_c, 2)
-    c_z = commit_dev(pk.srs, z_b)
+    # --- stage 2: Z (one dispatch) ------------------------------------------
+    zb = jnp.asarray(ffr.encode([rnd(q), rnd(q), rnd(q)]))  # order 2
+    z_b, jac_z = _s2_z(
+        ff=ffr, dom=dom, L_dev=L_dev, R_dev=R_dev, O_dev=O_dev,
+        s1v=dev["s1_v"], s2v=dev["s2_v"], s3v=dev["s3_v"],
+        wpow=dev["wpow"], beta_e=_enc1(ffr, beta),
+        gamma_e=_enc1(ffr, gamma), zb=zb, srs_pts=srs_pts, u=u,
+        nbits=nbits)
+    (c_z,) = _decode_jacs(curve, [jac_z])
     _mark("Z")
 
     for pt in bsb22_pts:
@@ -296,7 +570,7 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
     ts.bind("alpha", ts.point_bytes(c_z, p_mod))
     alpha = ts.challenge("alpha")
 
-    # --- quotient ------------------------------------------------------------
+    # --- stage 3: quotient ---------------------------------------------------
     N4 = 4 * N if N >= 6 else 8 * N
     dom4 = get_domain(ffr, N4)
     g = curve.fr.generator % q
@@ -305,189 +579,121 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
     alpha2 = alpha * alpha % q
     Ninv = pow(N, -1, q)
 
-    # Z(wX)
     zs_b = ff_scale_powers(ffr, z_b, w, q)
-
     col_coeffs = dict(l=l_b, r=r_b, o=o_b, z=z_b, zs=zs_b,
                       ql=dev["ql_c"], qr=dev["qr_c"], qm=dev["qm_c"],
                       qo=dev["qo_c"], s1=dev["s1_c"], s2=dev["s2_c"],
                       s3=dev["s3_c"])
+    scal_t = dict(beta=_enc1(ffr, beta), gamma=_enc1(ffr, gamma),
+                  alpha=_enc1(ffr, alpha), alpha2=_enc1(ffr, alpha2),
+                  u=_enc1(ffr, u), u2=_enc1(ffr, u * u % q),
+                  Ninv=_enc1(ffr, Ninv))
 
     import os as _os
     rho_log = int(_os.environ.get("GNARK_TPU_PLONK_RHO_LOG", "18"))
     use_rho = N >= (1 << rho_log) and period > 1
-
-    scalars = dict(q=q, beta=beta, gamma=gamma, alpha=alpha,
-                   alpha2=alpha2, u=u, Ninv=Ninv)
+    shard = N + 2
 
     if not use_rho:
-        def on_coset(cdev):
-            c = jnp.pad(cdev, ((0, N4 - cdev.shape[0]), (0, 0)))
-            return dom4.fft(c, coset=True)
-
-        cols = {k: on_coset(v) for k, v in col_coeffs.items()}
-        qkx = on_coset(qkc_dev)
-        for qcp_c, pi2_c in zip(dev["qcp_c"], pi2_dev):
-            qkx = ffr.add(qkx, ffr.mul(on_coset(qcp_c),
-                                       on_coset(pi2_c)))
-        cols["qk"] = qkx
-        gN = pow(g, N, q)
-        w4N = pow(w4, N, q)
-        zh_vals = [(gN * pow(w4N, i, q) - 1) % q for i in range(period)]
-        zh_inv4 = [pow(v, -1, q) for v in zh_vals]
-        xd = ffr.mul(dev_powers(ffr, w4, N4),
-                     jnp.asarray(ffr.encode([g])))
-        zh_d = jnp.asarray(ffr.encode(
-            [zh_vals[i % period] for i in range(N4)]))
-        zhi_d = jnp.asarray(ffr.encode(
-            [zh_inv4[i % period] for i in range(N4)]))
-        numd = _numerator(ffr, cols, xd, zh_d, zhi_d, N4, scalars)
-        h_dev = dom4.ifft(numd, coset=True)
+        xd, zh_d, zhi_d = _coset_consts(ffr, N4, period)
+        szk = (jnp.asarray(ffr.encode([rnd(q), rnd(q)]))
+               if statistical_zk else
+               jnp.zeros((2, ffr.n), dtype=jnp.uint32))
+        (h0, h1, h2), jac_h = _s3_quotient(
+            ff=ffr, dom4=dom4, cols=col_coeffs, qkc=qkc_dev,
+            qcps=tuple(dev["qcp_c"]), pi2s=tuple(pi2_dev), xd=xd,
+            zh_d=zh_d, zhi_d=zhi_d, scal=scal_t, szk=szk,
+            srs_pts=srs_pts, period=period, nbits=nbits)
+        c_h0, c_h1, c_h2 = _decode_jacs(curve, jac_h)
     else:
-        # rho-pass (computeNumerator prove.go:936-1020): evaluate the
-        # numerator shift-by-shift on N-sized blocks, fully on device
-        chunks = []
-        wp_dev = dev_powers(ffr, w, N)
-        for sshift in range(period):
-            shift = g * pow(w4, sshift, q) % q
-            cN = pow(shift, N, q)
-            spows = dev_powers(ffr, shift, N)
+        # rho-pass (computeNumerator prove.go:936-1020): shift-by-shift
+        # on N-sized blocks, eager (memory mode for large N where
+        # dispatch overhead amortizes)
+        h_dev = _rho_quotient(ffr, dom, dom4, col_coeffs, qkc_dev,
+                              dev, pi2_dev, g, w4, period, N, scal_t,
+                              w)
+        h0 = jnp.pad(h_dev[:shard], ((0, 1), (0, 0)))
+        h1 = jnp.pad(h_dev[shard:2 * shard], ((0, 1), (0, 0)))
+        h2 = h_dev[2 * shard:3 * shard]
+        if statistical_zk:
+            b1, b2 = rnd(q), rnd(q)
 
-            def eval_shift(cdev, _spows=spows, _cN=cN):
-                # fold deg<kN blocks: sum_b coeffs[bN+i] * cN^b, then
-                # scale by shift^i and FFT on the plain domain
-                m = cdev.shape[0]
-                blocks = -(-m // N)
-                c = jnp.pad(cdev, ((0, blocks * N - m), (0, 0)))
-                c = c.reshape(blocks, N, -1)
-                acc = c[0]
-                cp = 1
-                for b in range(1, blocks):
-                    cp = cp * _cN % q
-                    acc = ffr.add(acc, ffr.mul(
-                        c[b], jnp.asarray(ffr.encode([cp]))))
-                return dom.fft(ffr.mul(acc, _spows))
+            def sp(dev_arr, at, vv):
+                ve = jnp.asarray(ffr.encode([vv % q]))
+                return dev_arr.at[at].set(
+                    ffr.add(dev_arr[at:at + 1], ve)[0])
 
-            cols = {k: eval_shift(v) for k, v in col_coeffs.items()}
-            qkx = eval_shift(qkc_dev)
-            for qcp_c, pi2_c in zip(dev["qcp_c"], pi2_dev):
-                qkx = ffr.add(qkx, ffr.mul(eval_shift(qcp_c),
-                                           eval_shift(pi2_c)))
-            cols["qk"] = qkx
-            xd = ffr.mul(wp_dev, jnp.asarray(ffr.encode([shift])))
-            zh_c = (cN - 1) % q
-            zhi_c = pow(zh_c, -1, q)
-            zh_d = jnp.broadcast_to(
-                jnp.asarray(ffr.encode([zh_c])), xd.shape)
-            zhi_d = jnp.broadcast_to(
-                jnp.asarray(ffr.encode([zhi_c])), xd.shape)
-            chunks.append(np.asarray(
-                _numerator(ffr, cols, xd, zh_d, zhi_d, N, scalars)))
-        inter = np.stack(chunks, axis=1).reshape(N4, -1)
-        h_dev = dom4.ifft(jnp.asarray(inter), coset=True)
+            h0 = sp(h0, shard, b1)
+            h1 = sp(h1, 0, q - b1)
+            h1 = sp(h1, shard, b2)
+            h2 = sp(h2, 0, q - b2)
+        c_h0 = commit_dev(pk.srs, h0)
+        c_h1 = commit_dev(pk.srs, h1)
+        c_h2 = commit_dev(pk.srs, h2)
     _mark("quotient")
-
-    # h splits into 3 shards of N+2 (deg H = 3N+5)
-    shard = N + 2
-    h0 = h_dev[:shard]
-    h1 = h_dev[shard:2 * shard]
-    h2 = h_dev[2 * shard:3 * shard]
-    if __debug__:
-        tail = np.asarray(h_dev[3 * shard:])
-        assert not tail.any() or bool(
-            np.all(ffr.decode(tail) == 0)), "quotient degree bound"
-    if statistical_zk:
-        b1, b2 = rnd(q), rnd(q)
-        h0 = jnp.pad(h0, ((0, 1), (0, 0)))
-        h1 = jnp.pad(h1, ((0, 1), (0, 0)))
-
-        def sp(dev_arr, at, v):
-            vv = jnp.asarray(ffr.encode([v % q]))
-            return dev_arr.at[at].set(ffr.add(dev_arr[at], vv[0]))
-
-        h0 = sp(h0, shard, b1)
-        h1 = sp(h1, 0, q - b1)
-        h1 = sp(h1, shard, b2)
-        h2 = sp(h2, 0, q - b2)
-    c_h0 = commit_dev(pk.srs, h0)
-    c_h1 = commit_dev(pk.srs, h1)
-    c_h2 = commit_dev(pk.srs, h2)
-    _mark("commit H")
 
     for pt in (c_h0, c_h1, c_h2):
         ts.bind("zeta", ts.point_bytes(pt, p_mod))
     zeta = ts.challenge("zeta")
 
-    # --- evaluations at zeta (device powers + tree sums) ---------------------
-    maxlen = max(N + 3, shard + 1)
-    zpows = dev_powers(ffr, zeta, maxlen)
-    lz = dev_poly_eval(ffr, l_b, zpows)
-    rz = dev_poly_eval(ffr, r_b, zpows)
-    oz = dev_poly_eval(ffr, o_b, zpows)
-    s1z = dev_poly_eval(ffr, dev["s1_c"], zpows)
-    s2z = dev_poly_eval(ffr, dev["s2_c"], zpows)
-    qcpz = [dev_poly_eval(ffr, c, zpows) for c in dev["qcp_c"]]
-    wzeta = w * zeta % q
-    zu = dev_poly_eval(ffr, z_b,
-                       dev_powers(ffr, wzeta, z_b.shape[0]))
+    # --- stage 4: evaluations + linearized polynomial ------------------------
+    polys = dict(l=l_b, r=r_b, o=o_b, z=z_b, s1=dev["s1_c"],
+                 s2=dev["s2_c"], s3=dev["s3_c"], ql=dev["ql_c"],
+                 qr=dev["qr_c"], qm=dev["qm_c"], qo=dev["qo_c"],
+                 qk=dev["qk_c"], qcps=tuple(dev["qcp_c"]),
+                 pi2s=tuple(pi2_dev), h0=h0, h1=h1, h2=h2)
+    claimed_arr, lin, zu_d = _s4_evals(
+        ff=ffr, polys=polys, zeta_e=_enc1(ffr, zeta),
+        beta_e=_enc1(ffr, beta), gamma_e=_enc1(ffr, gamma),
+        alpha_e=_enc1(ffr, alpha), N=N, w=w, u=u, Ninv=Ninv)
+    cl = [int(x) for x in ffr.decode(np.asarray(claimed_arr))]
+    zu = int(ffr.decode(np.asarray(zu_d))[0])
+    lin_zeta, lz, rz, oz, s1z, s2z = cl[:6]
+    qcpz = list(cl[6:])
+    claimed = [lin_zeta, lz, rz, oz, s1z, s2z] + qcpz
+    _mark("evals+lin")
 
+    # host scalar mirror for the verifier-side linearized digest
     zeta_n = pow(zeta, N, q)
     zh_zeta = (zeta_n - 1) % q
     l1_zeta = zh_zeta * pow((zeta - 1) % q, -1, q) % q * Ninv % q
     a2l1 = alpha2 * l1_zeta % q
-
     t1 = (lz + beta * s1z + gamma) % q
     t2 = (rz + beta * s2z + gamma) % q
-    _s1 = alpha * beta % q * t1 % q * t2 % q * zu % q
+    _s1v = alpha * beta % q * t1 % q * t2 % q * zu % q
     idp = (lz + beta * zeta + gamma) % q
     idp = idp * ((rz + beta * u % q * zeta + gamma) % q) % q
     idp = idp * ((oz + beta * u % q * u % q * zeta + gamma) % q) % q
     coeff_z = (a2l1 - alpha * idp) % q
-
-    rl = lz * rz % q
     zp2 = pow(zeta, N + 2, q)
-    zh = (q - zh_zeta) % q
-
-    # NB: the INCOMPLETE qk (public contributions live in the
-    # verifier's PI term, not the linearized polynomial)
-    lin_polys = [dev["ql_c"], dev["qr_c"], dev["qm_c"], dev["qo_c"],
-                 dev["qk_c"]] + pi2_dev + [dev["s3_c"], z_b,
-                                           h0, h1, h2]
-    lin_scals = [lz, rz, rl, oz, 1] + qcpz + [
-        _s1, coeff_z, zh, zh * zp2 % q, zh * zp2 % q * zp2 % q]
-    lin = dev_lincomb(ffr, lin_polys, lin_scals)
-    lin_zeta = dev_poly_eval(ffr, lin, zpows)
-    _mark("evals+lin")
-
-    # --- openings (evaluate-and-divide on the 2N domain) ---------------------
-    n2 = 2 * N if 2 * N >= lin.shape[0] else 4 * N
-    dom2, xs2 = _DevDomain.get(ffr, n2)
-
-    zq = open_quotient_dev(ffr, dom2, xs2, z_b, wzeta, zu)
-    z_open_h = commit_dev(pk.srs, zq, max_len=z_b.shape[0])
 
     lin_digest = P._lin_digest_prover(
-        pk, vk, c_z, (c_h0, c_h1, c_h2), lz, rz, oz, _s1, coeff_z,
+        pk, vk, c_z, (c_h0, c_h1, c_h2), lz, rz, oz, _s1v, coeff_z,
         zh_zeta, zp2, bsb22_pts, qcpz)
     digests = [lin_digest, c_l, c_r, c_o, vk.s_comm[0], vk.s_comm[1]] \
         + list(vk.qcp_c)
-    claimed = [lin_zeta, lz, rz, oz, s1z, s2z] + qcpz
     fold_ch = P._fold_challenge(vk, digests, zeta, zu, claimed,
                                 recursion_friendly)
 
-    open_polys = [lin, l_b, r_b, o_b, dev["s1_c"], dev["s2_c"]] \
-        + list(dev["qcp_c"])
+    # --- stage 5: openings ---------------------------------------------------
+    open_polys = (lin, l_b, r_b, o_b, dev["s1_c"], dev["s2_c"]) \
+        + tuple(dev["qcp_c"])
+    fold_scals_host = []
     chp = 1
-    fold_scals = []
-    for _ in open_polys:
-        fold_scals.append(chp)
-        chp = chp * fold_ch % q
-    folded = dev_lincomb(ffr, open_polys, fold_scals)
     folded_claim = 0
-    for v, s in zip(claimed, fold_scals):
-        folded_claim = (folded_claim + v * s) % q
-    bq = open_quotient_dev(ffr, dom2, xs2, folded, zeta, folded_claim)
-    batch_h = commit_dev(pk.srs, bq, max_len=folded.shape[0])
+    for v in claimed:
+        fold_scals_host.append(chp)
+        folded_claim = (folded_claim + v * chp) % q
+        chp = chp * fold_ch % q
+    n2 = 2 * N if 2 * N >= lin.shape[0] else 4 * N
+    dom2, xs2 = _DevDomain.get(ffr, n2)
+    jac_b, jac_zq = _s5_open(
+        ff=ffr, dom2=dom2, xs2=xs2, open_polys=open_polys,
+        fold_scals=jnp.asarray(ffr.encode(fold_scals_host)),
+        zeta_e=_enc1(ffr, zeta), fclaim_e=_enc1(ffr, folded_claim),
+        z_b=z_b, wz_e=_enc1(ffr, w * zeta % q), zu_e=zu_d,
+        srs_pts=srs_pts, nbits=nbits)
+    batch_h, z_open_h = _decode_jacs(curve, [jac_b, jac_zq])
     _mark("openings")
 
     return P.PlonkProof(lro=[c_l, c_r, c_o], z=c_z,
@@ -496,76 +702,75 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
                         z_shift_h=z_open_h, zu=zu, bsb22=bsb22_pts)
 
 
+@functools.lru_cache(maxsize=None)
+def _coset_consts_cached(fr_name: str, N4: int, period: int):
+    ff = get_ff(fr_name)
+    q = ff.p.modulus
+    dom4 = get_domain(ff, N4)
+    g = ff.p.generator % q
+    w4 = dom4.omega
+    gN = pow(g, N4 // period, q)
+    w4N = pow(w4, N4 // period, q)
+    zh_vals = [(gN * pow(w4N, i, q) - 1) % q for i in range(period)]
+    zh_inv4 = [pow(v, -1, q) for v in zh_vals]
+    xd = ff.mul(dev_powers(ff, w4, N4), jnp.asarray(ff.encode([g])))
+    zh_d = jnp.asarray(ff.encode(
+        [zh_vals[i % period] for i in range(N4)]))
+    zhi_d = jnp.asarray(ff.encode(
+        [zh_inv4[i % period] for i in range(N4)]))
+    return xd, zh_d, zhi_d
+
+
+def _coset_consts(ff, N4: int, period: int):
+    return _coset_consts_cached(ff.p.name, N4, period)
+
+
+def _rho_quotient(ffr, dom, dom4, col_coeffs, qkc_dev, dev, pi2_dev,
+                  g, w4, period, N, scal_t, w):
+    q = ffr.p.modulus
+    chunks = []
+    wp_dev = dev["wpow"]
+    for sshift in range(period):
+        shift = g * pow(w4, sshift, q) % q
+        cN = pow(shift, N, q)
+        spows = dev_powers(ffr, shift, N)
+
+        def eval_shift(cdev, _spows=spows, _cN=cN):
+            m = cdev.shape[0]
+            blocks = -(-m // N)
+            c = jnp.pad(cdev, ((0, blocks * N - m), (0, 0)))
+            c = c.reshape(blocks, N, -1)
+            acc = c[0]
+            cp = 1
+            for b in range(1, blocks):
+                cp = cp * _cN % q
+                acc = ffr.add(acc, ffr.mul(
+                    c[b], jnp.asarray(ffr.encode([cp]))))
+            return dom.fft(ffr.mul(acc, _spows))
+
+        cols = {k: eval_shift(v) for k, v in col_coeffs.items()}
+        qkx = eval_shift(qkc_dev)
+        for qcp_c, pi2_c in zip(dev["qcp_c"], pi2_dev):
+            qkx = ffr.add(qkx, ffr.mul(eval_shift(qcp_c),
+                                       eval_shift(pi2_c)))
+        cols["qk"] = qkx
+        xd = ffr.mul(wp_dev, jnp.asarray(ffr.encode([shift])))
+        zh_c = (cN - 1) % q
+        zhi_c = pow(zh_c, -1, q)
+        zh_d = jnp.broadcast_to(jnp.asarray(ffr.encode([zh_c])),
+                                xd.shape)
+        zhi_d = jnp.broadcast_to(jnp.asarray(ffr.encode([zhi_c])),
+                                 xd.shape)
+        chunks.append(np.asarray(
+            _numerator_t(ffr, cols, xd, zh_d, zhi_d, scal_t)))
+    inter = np.stack(chunks, axis=1).reshape(len(chunks) * N, -1)
+    return dom4.ifft(jnp.asarray(inter), coset=True)
+
+
 def ff_scale_powers(ff, coeffs_dev, w: int, q: int):
     """coeffs[i] * w^i (Z(wX) shift) on device."""
     n = coeffs_dev.shape[0]
     return ff.mul(coeffs_dev, dev_powers(ff, w, n))
-
-
-def _z_column(ffr, dom, L_dev, R_dev, O_dev, dev, beta, gamma, u, N):
-    """Z Lagrange column: Z[0]=1, Z[k+1] = Z[k] * num_k / den_k
-    where num/den are the id/sigma permutation products."""
-    q = ffr.p.modulus
-
-    def c(v):
-        return jnp.asarray(ffr.encode([v % q]))
-
-    wpow = dev["wpow"]
-    bx = ffr.mul(c(beta), wpow)
-    g_d = jnp.broadcast_to(c(gamma), L_dev.shape)
-    nm = ffr.add(ffr.add(L_dev, bx), g_d)
-    nm = ffr.mul(nm, ffr.add(ffr.add(R_dev, ffr.mul(c(u), bx)), g_d))
-    nm = ffr.mul(nm, ffr.add(
-        ffr.add(O_dev, ffr.mul(c(u * u % q), bx)), g_d))
-    beta_d = c(beta)
-    dn = ffr.add(ffr.add(L_dev, ffr.mul(beta_d, dev["s1_v"])), g_d)
-    dn = ffr.mul(dn, ffr.add(
-        ffr.add(R_dev, ffr.mul(beta_d, dev["s2_v"])), g_d))
-    dn = ffr.mul(dn, ffr.add(
-        ffr.add(O_dev, ffr.mul(beta_d, dev["s3_v"])), g_d))
-    ratio = ffr.mul(nm, ffr.batch_inv(dn))
-    # Z = [1, r0, r0r1, ...]: shift the inclusive scan right by one
-    scan = jax.lax.associative_scan(ffr.mul, ratio, axis=0)
-    one = jnp.asarray(ffr.encode([1]))
-    return jnp.concatenate([one, scan[: N - 1]], axis=0)
-
-
-def _numerator(ff, cols, xd, zh_d, zhi_d, n_pts, s):
-    """Fused gate + copy-ordering + L1 numerator, elementwise
-    (identical math to the reference's computeNumerator closures,
-    prove.go:1040-1106)."""
-    q = s["q"]
-
-    def dc(v):
-        one = ff.encode([v % q])
-        return jnp.broadcast_to(jnp.asarray(one),
-                                (n_pts,) + one.shape[1:])
-    one_d = dc(1)
-    gamma_d = dc(s["gamma"])
-    gate = ff.add(ff.mul(cols["ql"], cols["l"]),
-                  ff.mul(cols["qr"], cols["r"]))
-    gate = ff.add(gate, ff.mul(cols["qm"], ff.mul(cols["l"], cols["r"])))
-    gate = ff.add(gate, ff.mul(cols["qo"], cols["o"]))
-    gate = ff.add(gate, cols["qk"])
-    bx = ff.mul(dc(s["beta"]), xd)
-    idp = ff.add(ff.add(cols["l"], bx), gamma_d)
-    idp = ff.mul(idp, ff.add(
-        ff.add(cols["r"], ff.mul(dc(s["u"]), bx)), gamma_d))
-    idp = ff.mul(idp, ff.add(
-        ff.add(cols["o"], ff.mul(dc(s["u"] * s["u"] % q), bx)), gamma_d))
-    beta_d = dc(s["beta"])
-    sp = ff.add(ff.add(cols["l"], ff.mul(beta_d, cols["s1"])), gamma_d)
-    sp = ff.mul(sp, ff.add(
-        ff.add(cols["r"], ff.mul(beta_d, cols["s2"])), gamma_d))
-    sp = ff.mul(sp, ff.add(
-        ff.add(cols["o"], ff.mul(beta_d, cols["s3"])), gamma_d))
-    ordering = ff.sub(ff.mul(sp, cols["zs"]), ff.mul(idp, cols["z"]))
-    xm1_inv = ff.batch_inv(ff.sub(xd, one_d))
-    l1 = ff.mul(ff.mul(zh_d, dc(s["Ninv"])), xm1_inv)
-    local = ff.mul(l1, ff.sub(cols["z"], one_d))
-    numd = ff.add(gate, ff.mul(dc(s["alpha"]), ordering))
-    numd = ff.add(numd, ff.mul(dc(s["alpha2"]), local))
-    return ff.mul(numd, zhi_d)
 
 
 def _col_indexes(cs, N):
