@@ -42,9 +42,11 @@ def _caller_location() -> str:
 class R1CSBuilder:
     """Builds a ConstraintSystem(kind='r1cs') while serving the API."""
 
-    def __init__(self, field: FieldParams):
+    def __init__(self, field: FieldParams,
+                 compress_threshold: int = 300):
         self.cs = ConstraintSystem(field, "r1cs")
         self.q = field.modulus
+        self.compress_threshold = compress_threshold
         self._booleans: set = set()
         self.deferred: list = []    # post-define callbacks (circuitdefer)
 
@@ -124,14 +126,28 @@ class R1CSBuilder:
     # arithmetic API (reference frontend/api.go:13-60)
     # ------------------------------------------------------------------
 
+    def _compress(self, lc):
+        """Replace a long linear expression by one fresh wire pinned
+        with an equality R1C (reference builder.go:476-489 compress +
+        frontend.CompressThreshold default 300): keeps downstream
+        gates small when chained adds snowball."""
+        if self.compress_threshold <= 0 or \
+                len(lc) < self.compress_threshold:
+            return lc
+        t = self.cs.new_internal_wire()
+        self._add_r1c(lc, lc_const(self.q, 1), lc_single(t), t)
+        return lc_single(t)
+
     def add(self, a, b, *rest) -> Variable:
-        return Variable(lc_merge(self.q, self._lc(a), self._lc(b),
-                                 *(self._lc(v) for v in rest)))
+        return Variable(self._compress(
+            lc_merge(self.q, self._lc(a), self._lc(b),
+                     *(self._lc(v) for v in rest))))
 
     def sub(self, a, b, *rest) -> Variable:
         neg = [lc_scale(self.q, self._lc(v), self.q - 1)
                for v in (b, *rest)]
-        return Variable(lc_merge(self.q, self._lc(a), *neg))
+        return Variable(self._compress(
+            lc_merge(self.q, self._lc(a), *neg)))
 
     def neg(self, a) -> Variable:
         return Variable(lc_scale(self.q, self._lc(a), self.q - 1))

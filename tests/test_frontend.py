@@ -253,3 +253,33 @@ def test_unconstrained_input_check():
             api.assert_is_equal(api.mul(self.x, self.x), self.y)
 
     compile_circuit(Tight(), fields.BN254_FR, check_unconstrained=True)
+
+
+def test_compress_threshold():
+    """Long linexps collapse into one wire past CompressThreshold
+    (reference builder.go:476-489; frontend.WithCompressThreshold
+    default 300)."""
+    class Wide(Circuit):
+        xs: list[Secret]
+        y: Public
+
+        def __init__(self, **kw):
+            self.xs = [None] * 400
+            super().__init__(**kw)
+
+        def define(self, api):
+            s = api.add(self.xs[0], self.xs[1], *self.xs[2:])
+            api.assert_is_equal(api.mul(s, s), self.y)
+
+    cs = compile_circuit(Wide(), F)
+    # compression wire + square + assert
+    assert cs.nb_constraints == 3
+    # every constraint row stays short
+    for c in cs.r1cs:
+        assert max(len(c.l), len(c.r), len(c.o)) <= 401
+    q = F.modulus
+    vals = list(range(1, 401))
+    s = sum(vals) % q
+    w = Wide(xs=vals, y=s * s % q)
+    cs2, sol = solve_circuit(Wide, w)
+    assert sol.values[1] == s * s % q
