@@ -366,8 +366,10 @@ def main():
     print(headline, flush=True)
 
     # --- secondary metrics, each in a time-boxed subprocess ---
-    for name in ("msm20", "msm22", "ntt20", "g16", "plonk18",
-                 "rollup"):
+    # priority order under the driver's budget: the north-star sizes
+    # first (msm22/ntt/g16 prove), msm20 last (it tracks msm22)
+    for name in ("msm22", "ntt20", "g16", "rollup", "plonk18",
+                 "msm20"):
         if _left() > 60:
             _run_secondary(name)
 

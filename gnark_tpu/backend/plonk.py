@@ -243,7 +243,12 @@ from gnark_tpu.backend.transcript import outer_mimc_field as \
     _outer_mimc_field
 
 
-def _new_transcript(vk: PlonkVerifyingKey, recursion=False):
+def _new_transcript(vk: PlonkVerifyingKey, recursion=False,
+                    challenge_hash=None):
+    """challenge_hash: optional hashlib-style factory replacing sha256
+    (reference backend.WithProverChallengeHashFunction /
+    ProverConfig.ChallengeHash, backend.go:59-82); prover and verifier
+    must agree on it."""
     names = ["gamma", "beta", "alpha", "zeta"]
     if recursion:
         return MimcTranscript(vk.curve.fr.modulus, names,
@@ -251,7 +256,8 @@ def _new_transcript(vk: PlonkVerifyingKey, recursion=False):
     # default: gnark-bit-exact fiat-shamir (prove.go:217) — the
     # transcript and all point/element marshals match gnark-crypto,
     # so challenges (and proofs) cross-verify with gnark
-    ts = gnark_fs.GnarkTranscript(vk.curve.fr.modulus, names)
+    ts = gnark_fs.GnarkTranscript(vk.curve.fr.modulus, names,
+                                  challenge_hash)
     ts.point_bytes = lambda P, p_mod, _c=vk.curve: gnark_fs.g1_raw_bytes(
         _c, None if P is host.INF else P)
     return ts
@@ -323,7 +329,8 @@ def _h2f_bsb22(curve, point, recursion=False) -> int:
 def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
           rng=None, hint_overrides=None,
           recursion_friendly: bool = False,
-          statistical_zk: bool = False) -> "PlonkProof":
+          statistical_zk: bool = False,
+          challenge_hash=None) -> "PlonkProof":
     """Prove on the device-resident pipeline (backend/plonk_device.py:
     columns/NTTs/Z-scan/quotient/openings all on device; the host only
     sequences Fiat-Shamir and O(1) scalars).
@@ -337,7 +344,7 @@ def prove(cs: ConstraintSystem, pk: PlonkProvingKey, public, secret,
     return plonk_device.prove(
         cs, pk, public, secret, rng=rng, hint_overrides=hint_overrides,
         recursion_friendly=recursion_friendly,
-        statistical_zk=statistical_zk)
+        statistical_zk=statistical_zk, challenge_hash=challenge_hash)
 
 
 def _lin_digest_prover(pk, vk, c_z, c_h, lz, rz, oz, _s1, coeff_z,
@@ -363,7 +370,8 @@ def _lin_digest_prover(pk, vk, c_z, c_h, lz, rz, oz, _s1, coeff_z,
 # ---------------------------------------------------------------------------
 
 def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values,
-           recursion_friendly: bool = False) -> bool:
+           recursion_friendly: bool = False,
+           challenge_hash=None) -> bool:
     curve = vk.curve
     q = curve.fr.modulus
     N = vk.size
@@ -389,7 +397,7 @@ def verify(proof: PlonkProof, vk: PlonkVerifyingKey, public_values,
            for v in list(proof.claimed) + [proof.zu]):
         return False
 
-    ts = _new_transcript(vk, recursion_friendly)
+    ts = _new_transcript(vk, recursion_friendly, challenge_hash)
     _bind_public_data(ts, vk, publics)
     p_mod = curve.fp.modulus
     for pt in proof.lro:

@@ -453,7 +453,7 @@ def _decode_jacs(curve, jacs):
 
 def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
           recursion_friendly: bool = False,
-          statistical_zk: bool = False):
+          statistical_zk: bool = False, challenge_hash=None):
     from gnark_tpu.backend import plonk as P
 
     vk = pk.vk
@@ -546,7 +546,7 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
     _mark("columns+LRO")
 
     # --- gamma, beta ---------------------------------------------------------
-    ts = P._new_transcript(vk, recursion_friendly)
+    ts = P._new_transcript(vk, recursion_friendly, challenge_hash)
     P._bind_public_data(ts, vk, publics)
     p_mod = curve.fp.modulus
     for pt in (c_l, c_r, c_o):
