@@ -219,7 +219,7 @@ def _export_reload_prove(n, backend):
     else:
         from gnark_tpu.backend import kzg, plonk
         srs = kzg.setup_srs(
-            "bn254", 1 << (cs2.nb_constraints + 16).bit_length(),
+            "bn254", (1 << (cs2.nb_constraints + 16).bit_length()) + 8,
             rng=random.Random(7))
         pk, vk = plonk.setup(cs2, srs)
         proof = plonk.prove(cs2, pk, pub, sec, rng=random.Random(8))
