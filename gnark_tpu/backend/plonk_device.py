@@ -261,18 +261,12 @@ def _s2_z(ff, dom, L_dev, R_dev, O_dev, s1v, s2v, s3v, wpow,
     return z_b, _commit_jit(ff, srs_pts, z_b, nbits)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("ff", "dom4", "period", "nbits"))
-def _s3_quotient(ff, dom4, cols, qkc, qcps, pi2s, xd, zh_d, zhi_d,
-                 scal, szk, srs_pts, period: int, nbits: int):
-    """One-shot coset quotient + shard split (+ StatisticalZK
-    randomizers, zero when disabled) + 3 commits.
-
-    cols: dict of coeff arrays; scal: dict of (1, L) device scalars;
-    szk: (2, L) randomizers."""
-    N4 = xd.shape[0]
-    N = N4 // period
-    shard = N + 2
+@functools.partial(jax.jit, static_argnames=("ff", "dom4"))
+def _s3_coset_evals(ff, dom4, cols, qkc, qcps, pi2s):
+    """Stage 3a: every column onto the 4N coset (split from 3b — the
+    single fused program exceeded the remote-compile service's
+    limits over the axon tunnel)."""
+    N4 = dom4.n
 
     def on_coset(cdev):
         c = jnp.pad(cdev, ((0, N4 - cdev.shape[0]), (0, 0)))
@@ -283,6 +277,18 @@ def _s3_quotient(ff, dom4, cols, qkc, qcps, pi2s, xd, zh_d, zhi_d,
     for qcp_c, pi2_c in zip(qcps, pi2s):
         qkx = ff.add(qkx, ff.mul(on_coset(qcp_c), on_coset(pi2_c)))
     ev["qk"] = qkx
+    return ev
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ff", "dom4", "period", "nbits"))
+def _s3_num_commit(ff, dom4, ev, xd, zh_d, zhi_d, scal, szk, srs_pts,
+                   period: int, nbits: int):
+    """Stage 3b: fused numerator + coset iFFT + shard split
+    (+ StatisticalZK randomizers, zero when disabled) + 3 commits."""
+    N4 = xd.shape[0]
+    N = N4 // period
+    shard = N + 2
     numd = _numerator_t(ff, ev, xd, zh_d, zhi_d, scal)
     h_dev = dom4.ifft(numd, coset=True)
 
@@ -299,6 +305,15 @@ def _s3_quotient(ff, dom4, cols, qkc, qcps, pi2s, xd, zh_d, zhi_d,
     jacs = tuple(_commit_jit(ff, srs_pts, h, nbits)
                  for h in (h0, h1, h2))
     return (h0, h1, h2), jacs
+
+
+def _s3_quotient(ff, dom4, cols, qkc, qcps, pi2s, xd, zh_d, zhi_d,
+                 scal, szk, srs_pts, period: int, nbits: int):
+    ev = _s3_coset_evals(ff=ff, dom4=dom4, cols=cols, qkc=qkc,
+                         qcps=qcps, pi2s=pi2s)
+    return _s3_num_commit(ff=ff, dom4=dom4, ev=ev, xd=xd, zh_d=zh_d,
+                          zhi_d=zhi_d, scal=scal, szk=szk,
+                          srs_pts=srs_pts, period=period, nbits=nbits)
 
 
 def _numerator_t(ff, cols, xd, zh_d, zhi_d, s):
