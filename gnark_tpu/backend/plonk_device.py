@@ -37,6 +37,7 @@ value ordering.
 
 from __future__ import annotations
 
+import functools
 import secrets
 
 import jax
@@ -135,15 +136,24 @@ def open_quotient_dev(ff, dom_n2, xs, coeffs_dev, z: int, claimed: int):
 
 
 def commit_dev(srs: kzg_mod.SRS, coeffs_mont, max_len=None):
-    """KZG-commit Montgomery device coeffs -> host affine point."""
+    """KZG-commit Montgomery device coeffs -> host affine point
+    (one jitted msm+to-affine dispatch)."""
     ff = get_ff(srs.curve.fr.name)
-    c = coeffs_mont if max_len is None else coeffs_mont[:max_len]
-    plain = ff.from_mont(c)
-    from gnark_tpu.backend.groth16 import _decode_affine, _tup1
-    from gnark_tpu.ec.weierstrass import jac_to_affine
-    R = kzg_mod.commit_device(srs, plain)
     ffp = get_ff(srs.curve.fp.name)
-    return _decode_affine(ffp, jac_to_affine(ffp, _tup1(R)))[0]
+    c = coeffs_mont if max_len is None else coeffs_mont[:max_len]
+    from gnark_tpu.backend.groth16 import _decode_affine
+    A = _commit_affine_jit(ff, ffp, c, srs.g1_powers,
+                           srs.curve.fr.bits)
+    return _decode_affine(ffp, A)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("ff", "ffp", "nbits"))
+def _commit_affine_jit(ff, ffp, coeffs_mont, srs_pts, nbits):
+    from gnark_tpu.ec.weierstrass import jac_to_affine
+    n = coeffs_mont.shape[0]
+    pts = tuple(a[:n] for a in srs_pts)
+    R = kzg_mod.msm(ffp, pts, ff.from_mont(coeffs_mont), nbits)
+    return jac_to_affine(ffp, tuple(a[None] for a in R))
 
 
 def _encode_col_u64(ff, values_u64, idx):
@@ -168,8 +178,6 @@ def _encode_col_u64(ff, values_u64, idx):
 # All proof-varying scalars enter as device arrays so one compiled
 # stage serves every proof of a given (N, nb_qcp) shape.
 # ---------------------------------------------------------------------------
-
-import functools
 
 
 def _enc1(ff, v):
@@ -452,14 +460,26 @@ def _s5_open(ff, dom2, xs2, open_polys, fold_scals, zeta_e, fclaim_e,
             _commit_jit(ff, srs_pts, zq, nbits))
 
 
-def _decode_jacs(curve, jacs):
-    """Batch-decode device Jacobian points -> host affine."""
-    from gnark_tpu.backend.groth16 import _decode_affine
+@functools.partial(jax.jit, static_argnames=("ff", "dom"))
+def _qk_ifft(ff, dom, qk_lag, rows, vals_e):
+    """qk completion + iFFT, one dispatch (completeQk analog)."""
+    return dom.ifft(qk_lag.at[rows].set(vals_e))
+
+
+@functools.partial(jax.jit, static_argnames=("ff",))
+def _to_affine_stack(ff, jacs):
     from gnark_tpu.ec.weierstrass import jac_to_affine
-    ffp = get_ff(curve.fp.name)
     stacked = tuple(jnp.stack([j[i] for j in jacs])
                     for i in range(3))
-    return list(_decode_affine(ffp, jac_to_affine(ffp, stacked)))
+    return jac_to_affine(ff, stacked)
+
+
+def _decode_jacs(curve, jacs):
+    """Batch-decode device Jacobian points -> host affine (ONE jitted
+    to-affine dispatch; the eager chain was ~10 tunnel round trips)."""
+    from gnark_tpu.backend.groth16 import _decode_affine
+    ffp = get_ff(curve.fp.name)
+    return list(_decode_affine(ffp, _to_affine_stack(ffp, tuple(jacs))))
 
 
 # ---------------------------------------------------------------------------
@@ -547,9 +567,9 @@ def prove(cs, pk, public, secret, rng=None, hint_overrides=None,
     qk_rows = list(range(nb_pub)) + \
         [nb_pub + cm.commitment_row for cm in cs.commitments]
     qk_vals = [v % q for v in publics] + [v % q for v in bsb22_vals]
-    qk_dev = dev["qk_lag"].at[jnp.asarray(qk_rows, dtype=jnp.int32)].set(
-        jnp.asarray(ffr.encode(qk_vals)))
-    qkc_dev = dom.ifft(qk_dev)
+    qkc_dev = _qk_ifft(ffr, dom, dev["qk_lag"],
+                       jnp.asarray(qk_rows, dtype=jnp.int32),
+                       jnp.asarray(ffr.encode(qk_vals)))
 
     # --- stage 1: columns + commits (one dispatch) --------------------------
     blinds = jnp.asarray(ffr.encode(
@@ -782,8 +802,9 @@ def _rho_quotient(ffr, dom, dom4, col_coeffs, qkc_dev, dev, pi2_dev,
     return dom4.ifft(jnp.asarray(inter), coset=True)
 
 
-def ff_scale_powers(ff, coeffs_dev, w: int, q: int):
-    """coeffs[i] * w^i (Z(wX) shift) on device."""
+@functools.partial(jax.jit, static_argnames=("ff", "w", "q"))
+def ff_scale_powers(ff, coeffs_dev, w: int, q: int = 0):
+    """coeffs[i] * w^i (Z(wX) shift) on device, one dispatch."""
     n = coeffs_dev.shape[0]
     return ff.mul(coeffs_dev, dev_powers(ff, w, n))
 
