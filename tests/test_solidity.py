@@ -128,15 +128,16 @@ def test_plonk_export_and_simulate():
         for v in pubs:
             d += be(v % R)
         d += b"".join(be(prw[i]) for i in range(6))
-        gamma = int.from_bytes(
-            hashlib.sha256(b"gamma" + d).digest(), "big") % R
-        beta = int.from_bytes(
-            hashlib.sha256(b"beta" + be(gamma)).digest(), "big") % R
-        alpha = int.from_bytes(hashlib.sha256(
-            b"alpha" + be(beta) + be(prw[6]) + be(prw[7])).digest(),
-            "big") % R
+        # gnark fiat-shamir: raw digest chaining (gnark_fs.py)
+        gd = hashlib.sha256(b"gamma" + d).digest()
+        gamma = int.from_bytes(gd, "big") % R
+        bd = hashlib.sha256(b"beta" + gd).digest()
+        beta = int.from_bytes(bd, "big") % R
+        ad = hashlib.sha256(
+            b"alpha" + bd + be(prw[6]) + be(prw[7])).digest()
+        alpha = int.from_bytes(ad, "big") % R
         zeta = int.from_bytes(hashlib.sha256(
-            b"zeta" + be(alpha)
+            b"zeta" + ad
             + b"".join(be(prw[i]) for i in range(8, 14))).digest(),
             "big") % R
 
@@ -193,12 +194,12 @@ def test_plonk_export_and_simulate():
             acc = host.ec_add(f1, acc, mul(Pp, sc))
 
         fold = int.from_bytes(hashlib.sha256(
-            be(acc[0]) + be(acc[1])
+            b"gamma" + be(zeta)
+            + be(acc[0]) + be(acc[1])
             + b"".join(be(prw[i]) for i in range(6))
             + b"".join(be(C[k]) for k in ("S1_X", "S1_Y", "S2_X", "S2_Y"))
-            + be(zeta) + be(zu)
-            + b"".join(be(prw[16 + i]) for i in range(6))).digest(),
-            "big") % R
+            + b"".join(be(prw[16 + i]) for i in range(6))
+            + be(zu)).digest(), "big") % R
 
         fc, fv = acc, lin_z
         chp = 1
