@@ -33,7 +33,7 @@ import time
 import numpy as np
 
 DEADLINE = time.monotonic() + float(
-    os.environ.get("GNARK_TPU_BENCH_BUDGET", "420"))
+    os.environ.get("GNARK_TPU_BENCH_BUDGET", "900"))
 
 # Speed-of-light anchors (BASELINE.md Targets #2): tools/mul_bench.py
 # measured 1.415 ns per bn254 Fp Montgomery mul per lane on this chip
@@ -293,7 +293,9 @@ def _secondary_plonk18():
     print(json.dumps({
         "metric": "plonk_prove_2^15_ms",
         "value": round(best * 1e3, 1), "unit": "ms",
-        "vs_baseline": round(2.0 / best, 4),
+        # gnark CPU proves ~2^15 gates in roughly 0.6s (docs-scale
+        # estimate; no in-repo number)
+        "vs_baseline": round(0.6 / best, 4),
     }), flush=True)
 
 
@@ -318,13 +320,15 @@ def _secondary_rollup():
     }), flush=True)
 
 
+# budgets include persistent-cache executable loads (a fresh process
+# pays minutes of deserialization over the axon toolchain)
 SECONDARIES = {
-    "msm20": (_secondary_msm20, 150),
-    "msm22": (_secondary_msm22, 180),
-    "ntt20": (_secondary_ntt20, 120),
-    "g16": (_secondary_g16, 240),
-    "plonk18": (_secondary_plonk18, 300),
-    "rollup": (_secondary_rollup, 300),
+    "msm20": (_secondary_msm20, 180),
+    "msm22": (_secondary_msm22, 300),
+    "ntt20": (_secondary_ntt20, 180),
+    "g16": (_secondary_g16, 420),
+    "plonk18": (_secondary_plonk18, 800),
+    "rollup": (_secondary_rollup, 600),
 }
 
 
@@ -369,11 +373,15 @@ def main():
 
     # --- secondary metrics, each in a time-boxed subprocess ---
     # priority order under the driver's budget: the north-star sizes
-    # first (msm22/ntt/g16 prove), msm20 last (it tracks msm22)
+    # first (msm22/ntt/g16 prove), msm20 last (it tracks msm22).
+    # The headline is re-printed after EVERY secondary so the LAST
+    # JSON line is always the headline even if the driver's outer
+    # timeout kills the bench mid-secondary.
     for name in ("msm22", "ntt20", "g16", "rollup", "plonk18",
                  "msm20"):
         if _left() > 60:
             _run_secondary(name)
+            print(headline, flush=True)
 
     # headline LAST (driver parses the final JSON line)
     print(headline, flush=True)
