@@ -36,7 +36,8 @@ def proof_witness(proof):
     return out
 
 
-def assert_proof(api, vk, proof_vars, publics):
+def assert_proof(api, vk, proof_vars, publics,
+                 separate_pok: bool = False):
     """Assert a Groth16 proof verifies against the CONSTANT inner vk.
 
     vk: backend.groth16.VerifyingKey over bls12_377 (host values).
@@ -44,6 +45,12 @@ def assert_proof(api, vk, proof_vars, publics):
         krs_x/krs_y circuit variables.
     publics: inner public inputs as circuit variables (excluding the
         constant-one wire).
+    separate_pok: check each Pedersen PoK in its OWN pairing product
+        like the reference's pedersen.AssertCommitment
+        (std/commitments/pedersen/verifier.go:57-72) — one extra
+        multi-pairing per commitment instead of the default rho-folded
+        merge into the main product (cheaper, same soundness via the
+        unpredictable rho linear combination).
     """
     assert vk.curve.name == "bls12_377", "2-chain inner must be bls12_377"
     nb_cm = len(vk.commitment_g2_sigma)
@@ -118,7 +125,14 @@ def assert_proof(api, vk, proof_vars, publics):
         ((vk.g1_alpha[0], (-vk.g1_alpha[1]) % vk.curve.fp.modulus),
          vk.g2_beta),                      # constant pair: folds
     ]
-    if nb_cm:
+    if nb_cm and separate_pok:
+        # reference parity: pedersen.AssertCommitment — each PoK in
+        # its own pairing check
+        from gnark_tpu.std.commitments.pedersen import assert_pok_377
+        for C, pok, sig in zip(commitments, poks,
+                               vk.commitment_g2_sigma):
+            assert_pok_377(api, C, pok, sig)
+    elif nb_cm:
         # fold the Pedersen PoK equations e(-pok,g2)*e(C,sigma) == 1
         # into the main product with an unpredictable rho challenge
         # (random linear combination of verified-to-one equations)

@@ -201,3 +201,32 @@ def test_in_circuit_groth16_commitment_circuit():
     w3 = dict(w)
     w3["pok0_x"], w3["pok0_y"] = w["cm0_x"], w["cm0_y"]
     assert not is_solved(_OuterCm(inner_y=35, **w3), F_OUT)
+
+
+class _OuterCmSep(_OuterCm):
+    def define(self, api):
+        pv = {k: getattr(self, k) for k in
+              ("ar_x", "ar_y", "bs_x0", "bs_x1", "bs_y0", "bs_y1",
+               "krs_x", "krs_y")}
+        pv["commitments"] = [(self.cm0_x, self.cm0_y)]
+        pv["poks"] = [(self.pok0_x, self.pok0_y)]
+        assert_proof(api, type(self).ivk, pv, [self.inner_y],
+                     separate_pok=True)
+
+
+@pytest.mark.slow
+def test_in_circuit_groth16_commitment_separate_pok():
+    """Reference-parity mode: each Pedersen PoK checked in its OWN
+    pairing product (std/commitments/pedersen verifier.go
+    AssertCommitment) instead of the rho-folded merge."""
+    ics = compile_circuit(_CommittedInner(), fields.BLS12_377_FR)
+    ipk, ivk = groth16.setup(ics, "bls12_377", rng=random.Random(71))
+    pub, sec = witness(_CommittedInner(x=3, y=35), ics)
+    proof = groth16.prove(ics, ipk, pub, sec, rng=random.Random(72),
+                          recursion_friendly=True)
+    _OuterCmSep.ivk = ivk
+    w = proof_witness(proof)
+    assert is_solved(_OuterCmSep(inner_y=35, **w), F_OUT)
+    w2 = dict(w)
+    w2["pok0_y"] = w2["pok0_y"] + 1
+    assert not is_solved(_OuterCmSep(inner_y=35, **w2), F_OUT)
