@@ -15,6 +15,12 @@ The analog of the reference's `constraint/` layer (constraint/core.go:
   * Instructions drive the witness solver; each is (kind, payload) and
     carries a dependency *level* so the solver can run per-level
     batches (constraint/core.go:382-421 level assignment).
+  * The reference's PACKED encoding (PackedInstruction + flat CallData,
+    core.go:30-129) has two analogs here: the native C++ solver
+    marshals this IR into flat packed u32/u64 arrays before solving
+    (native/__init__.py _marshal), and io/gnark_cs_writer.py emits
+    gnark's own packed wire format; the Python objects exist only at
+    compile/IO time, never in a hot loop.
 
 The prover only needs (a) the solved witness vector and (b) per-
 constraint evaluation vectors, both of which `solver.py` produces.
