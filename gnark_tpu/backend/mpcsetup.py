@@ -64,14 +64,11 @@ def init_phase1(curve_name: str, n: int) -> Phase1:
     )
 
 
-def contribute(state: Phase1, rng=None):
-    """Mix fresh randomness in; returns (new_state, contribution)."""
+def _apply_phase1(state: Phase1, tau: int, alpha: int,
+                  beta: int) -> Phase1:
+    """Scale a Phase1 state by a (tau, alpha, beta) update."""
     curve = state.curve
     q = curve.fr.modulus
-    rnd = rng.randrange if rng else (lambda m: secrets.randbelow(m))
-    tau = rnd(q) or 1
-    alpha = rnd(q) or 1
-    beta = rnd(q) or 1
     f1, f2 = curve.host_fp, curve.host_g2_field
 
     def scale_powers(points, base_scalar, extra=1):
@@ -82,7 +79,7 @@ def contribute(state: Phase1, rng=None):
             acc = acc * base_scalar % q
         return out
 
-    new = Phase1(
+    return Phase1(
         curve=curve, n=state.n,
         tau1=scale_powers(state.tau1, tau),
         tau2=[host.ec_mul(f2, p, pow(tau, i, q))
@@ -91,6 +88,18 @@ def contribute(state: Phase1, rng=None):
         beta_tau1=scale_powers(state.beta_tau1, tau, extra=beta),
         beta2=host.ec_mul(f2, state.beta2, beta),
     )
+
+
+def contribute(state: Phase1, rng=None):
+    """Mix fresh randomness in; returns (new_state, contribution)."""
+    curve = state.curve
+    q = curve.fr.modulus
+    rnd = rng.randrange if rng else (lambda m: secrets.randbelow(m))
+    tau = rnd(q) or 1
+    alpha = rnd(q) or 1
+    beta = rnd(q) or 1
+    f1, f2 = curve.host_fp, curve.host_g2_field
+    new = _apply_phase1(state, tau, alpha, beta)
     tr = _transcript_digest(state)
     poks = tuple(make_pok(curve, s, tr + tag)
                  for s, tag in ((tau, b"tau"), (alpha, b"alpha"),
@@ -411,21 +420,27 @@ def init_phase2(cs, ph1: Phase1) -> Phase2:
                   z_base=z_base, pkk_base=pkk_base)
 
 
-def contribute_phase2(state: Phase2, rng=None):
-    """Mix a fresh delta' in; returns (new_state, PoK)."""
+def _apply_phase2(state: Phase2, d: int) -> Phase2:
     curve = state.curve
     q = curve.fr.modulus
-    rnd = rng.randrange if rng else (lambda m: secrets.randbelow(m))
-    d = rnd(q) or 1
     d_inv = pow(d, -1, q)
     f1, f2 = curve.host_fp, curve.host_g2_field
-    new = dataclasses.replace(
+    return dataclasses.replace(
         state,
         delta1=host.ec_mul(f1, state.delta1, d),
         delta2=host.ec_mul(f2, state.delta2, d),
         z=[host.ec_mul(f1, p, d_inv) for p in state.z],
         pkk=[host.ec_mul(f1, p, d_inv) for p in state.pkk],
     )
+
+
+def contribute_phase2(state: Phase2, rng=None):
+    """Mix a fresh delta' in; returns (new_state, PoK)."""
+    curve = state.curve
+    q = curve.fr.modulus
+    rnd = rng.randrange if rng else (lambda m: secrets.randbelow(m))
+    d = rnd(q) or 1
+    new = _apply_phase2(state, d)
     nb = -(-curve.fp.modulus.bit_length() // 8)
     tr = b"phase2" + (state.delta1[0].to_bytes(nb, "big")
                       if state.delta1 is not host.INF else b"\x00")
@@ -509,3 +524,60 @@ def extract_keys(cs, ph1: Phase1, ph2: Phase2):
         g1_alpha=ph1.alpha_tau1[0], g2_beta=ph1.beta2,
         g2_gamma=curve.g2, g2_delta=ph2.delta2)
     return pk, vk
+
+
+# ---------------------------------------------------------------------------
+# Seal: beacon finalization (reference phase1.go:153-181 Seal +
+# mpcsetup.BeaconContributions, setup.go:27-40)
+# ---------------------------------------------------------------------------
+
+DST_PHASE1 = b"Groth16 MPC Setup - Phase 1"
+DST_PHASE2 = b"Groth16 MPC Setup - Phase2"
+
+
+def _beacon_scalars(digest: bytes, dst: bytes, beacon: bytes,
+                    n: int, q: int) -> list:
+    """Deterministic public update scalars from a randomness beacon:
+    scalar_i = hash_to_field(digest || beacon || i, dst). PUBLICLY
+    recomputable, so the final update needs no PoK and the last
+    private contributor cannot grind the output (the beacon value is
+    fixed later in time than every contribution)."""
+    from gnark_tpu.utils.hash_to_field import hash_to_field
+    return [hash_to_field(digest + beacon + i.to_bytes(4, "big"),
+                          dst, 1, q)[0] or 1 for i in range(n)]
+
+
+def seal_phase1(state: Phase1, beacon: bytes) -> Phase1:
+    """Final beacon contribution to tau/alpha/beta (Phase1.Seal)."""
+    q = state.curve.fr.modulus
+    tau, alpha, beta = _beacon_scalars(
+        _transcript_digest(state), DST_PHASE1, beacon, 3, q)
+    return _apply_phase1(state, tau, alpha, beta)
+
+
+def verify_seal_phase1(prev: Phase1, sealed: Phase1,
+                       beacon: bytes) -> bool:
+    """The seal is deterministic: re-derive and compare."""
+    s = seal_phase1(prev, beacon)
+    return (s.tau1 == sealed.tau1 and s.tau2 == sealed.tau2
+            and s.alpha_tau1 == sealed.alpha_tau1
+            and s.beta_tau1 == sealed.beta_tau1
+            and s.beta2 == sealed.beta2)
+
+
+def seal_phase2(state: Phase2, beacon: bytes) -> Phase2:
+    """Final beacon contribution to delta (Phase2 Seal, setup.go:30)."""
+    curve = state.curve
+    q = curve.fr.modulus
+    nb = -(-curve.fp.modulus.bit_length() // 8)
+    digest = b"phase2" + (state.delta1[0].to_bytes(nb, "big")
+                          if state.delta1 is not host.INF else b"\x00")
+    (d,) = _beacon_scalars(digest, DST_PHASE2, beacon, 1, q)
+    return _apply_phase2(state, d)
+
+
+def verify_seal_phase2(prev: Phase2, sealed: Phase2,
+                       beacon: bytes) -> bool:
+    s = seal_phase2(prev, beacon)
+    return (s.delta1 == sealed.delta1 and s.delta2 == sealed.delta2
+            and s.z == sealed.z and s.pkk == sealed.pkk)

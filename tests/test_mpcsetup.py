@@ -110,3 +110,43 @@ def test_phase1_pok_replay_rejected():
     s2, c2 = mpcsetup.contribute(s1b, rng=random.Random(7))
     # c2 was bound to s1b; trying to pass it off as a link from s1:
     assert not mpcsetup.verify_link(s1, s2, c2)
+
+
+# ---------------------------------------------------------------------------
+# Seal / beacon finalization (reference phase1.go:153-181 + setup.go)
+# ---------------------------------------------------------------------------
+
+def test_sealed_ceremony_to_keys():
+    """contribute x2 -> seal(beacon) on both phases -> extracted keys
+    prove+verify; tampered beacon rejected."""
+    import random
+
+    from gnark_tpu import fields
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.frontend import compile_circuit, witness
+    from tests.test_frontend import Cubic
+
+    beacon = b"drand round 4242"
+    cs = compile_circuit(Cubic(), fields.BN254_FR)
+    s0 = mpcsetup.init_phase1("bn254", 8)
+    s1, c1 = mpcsetup.contribute(s0, rng=random.Random(11))
+    assert mpcsetup.verify_link(s0, s1, c1)
+    s2, c2 = mpcsetup.contribute(s1, rng=random.Random(12))
+    assert mpcsetup.verify_link(s1, s2, c2)
+    s3 = mpcsetup.seal_phase1(s2, beacon)
+    assert mpcsetup.verify_seal_phase1(s2, s3, beacon)
+    assert not mpcsetup.verify_seal_phase1(s2, s3, b"other beacon")
+    assert mpcsetup.verify_consistency(s3)
+
+    p0 = mpcsetup.init_phase2(cs, s3)
+    p1, k1 = mpcsetup.contribute_phase2(p0, rng=random.Random(13))
+    assert mpcsetup.verify_phase2_link(p0, p1, k1)
+    p2 = mpcsetup.seal_phase2(p1, beacon)
+    assert mpcsetup.verify_seal_phase2(p1, p2, beacon)
+    assert not mpcsetup.verify_seal_phase2(p1, p2, b"x")
+
+    pk, vk = mpcsetup.extract_keys(cs, s3, p2)
+    pub, sec = witness(Cubic(x=3, y=35), cs)
+    proof = groth16.prove(cs, pk, pub, sec, rng=random.Random(14))
+    assert groth16.verify(proof, vk, pub)
+    assert not groth16.verify(proof, vk, [36])
