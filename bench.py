@@ -201,6 +201,48 @@ def _secondary_ntt20():
     }), flush=True)
 
 
+def _secondary_ntt24():
+    """Forward NTT of size 2^24 (BASELINE.json north-star size),
+    slope-timed."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from gnark_tpu.ff import get_ff
+    from gnark_tpu.ntt import get_domain
+    n = 1 << 24
+    ffr = get_ff("bn254_fr")
+    dom = get_domain(ffr, n)
+    v = jnp.asarray(_random_scalar_limbs(ffr, n, seed=9))
+
+    def chain(K):
+        @jax.jit
+        def f(a):
+            def body(i, x):
+                return dom.fft(x)
+            r = jax.lax.fori_loop(0, K, body, a)
+            return r[0, :2]
+        return f
+
+    times = {}
+    for K in (1, 3):
+        f = chain(K)
+        _ = np.asarray(f(v))
+        best = float("inf")
+        for _i in range(2):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(v))
+            best = min(best, time.perf_counter() - t0)
+        times[K] = best
+    per = (times[3] - times[1]) / 2
+    sol_ms = (1 << 23) * 24 / FIELD_MULS_PER_SEC * 1e3
+    print(json.dumps({
+        "metric": "bn254_fr_ntt_2^24_ms",
+        "value": round(per * 1e3, 2), "unit": "ms",
+        # ~16x the 2^20 CPU estimate (0.48 s)
+        "vs_baseline": round(0.48 / per, 4) if per > 0 else 0,
+        "sol_frac": round(sol_ms / (per * 1e3), 4) if per > 0 else 0,
+    }), flush=True)
+
+
 def _synth_square_chain(n_chains: int, chain_len: int):
     """Synthetic R1CS: n_chains independent squaring chains of
     chain_len (total n_chains*chain_len constraints) — wide levels so
@@ -329,6 +371,7 @@ SECONDARIES = {
     "g16": (_secondary_g16, 420),
     "plonk18": (_secondary_plonk18, 800),
     "rollup": (_secondary_rollup, 600),
+    "ntt24": (_secondary_ntt24, 420),
 }
 
 
@@ -377,8 +420,8 @@ def main():
     # The headline is re-printed after EVERY secondary so the LAST
     # JSON line is always the headline even if the driver's outer
     # timeout kills the bench mid-secondary.
-    for name in ("msm22", "ntt20", "g16", "rollup", "plonk18",
-                 "msm20"):
+    for name in ("msm22", "ntt20", "g16", "ntt24", "rollup",
+                 "plonk18", "msm20"):
         if _left() > 60:
             _run_secondary(name)
             print(headline, flush=True)
