@@ -1,0 +1,31 @@
+"""Guards for bench.py's synthetic circuits (they run unattended in
+the driver's bench; a drift here would silently zero a metric)."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_square_chain_solves():
+    from bench import _synth_square_chain
+    from gnark_tpu.constraint import solve
+
+    cs = _synth_square_chain(4, 8)
+    assert cs.nb_constraints == 32
+    q = cs.q
+    secrets_in = [i + 2 for i in range(4)]
+    sol = solve(cs, [], secrets_in)
+    # last wire of chain 0 holds x0^(2^8); chain c occupies internal
+    # wires [first_internal + c*8, first_internal + (c+1)*8)
+    want = pow(2, 1 << 8, q)
+    first_internal = cs.nb_public + cs.nb_secret
+    assert sol.values[first_internal + 7] == want
+
+
+def test_square_chain_levels_are_wide():
+    from bench import _synth_square_chain
+
+    cs = _synth_square_chain(16, 4)
+    # 4 levels of 16 parallel instructions each
+    assert len(cs.levels) == 4
+    assert all(len(lv) == 16 for lv in cs.levels)
