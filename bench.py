@@ -64,12 +64,8 @@ def _random_scalar_limbs(ffr, n: int, seed: int) -> np.ndarray:
 
 
 def _setup_jax():
-    os.makedirs("/root/.cache/gnark_tpu_xla_tpu", exist_ok=True)
-    import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/gnark_tpu_xla_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    return jax
+    from gnark_tpu.utils.cachekey import setup_cache
+    return setup_cache()
 
 
 def _msm_points_per_sec(n: int) -> float:

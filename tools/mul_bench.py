@@ -14,9 +14,7 @@ import numpy as np
 
 os.makedirs("/root/.cache/gnark_tpu_xla_tpu", exist_ok=True)
 import jax  # noqa: E402
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/gnark_tpu_xla_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gnark_tpu.utils.cachekey import setup_cache; setup_cache()
 import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402

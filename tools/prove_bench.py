@@ -10,9 +10,7 @@ import time
 
 os.makedirs("/root/.cache/gnark_tpu_xla_tpu", exist_ok=True)
 import jax
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/.cache/gnark_tpu_xla_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gnark_tpu.utils.cachekey import setup_cache; setup_cache()
 
 from gnark_tpu import fields
 from gnark_tpu.backend import groth16
