@@ -21,6 +21,8 @@ so CPU tests run them directly (and in pallas interpret mode).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -169,7 +171,17 @@ class TFF:
                 base = self.double(base)
         return r
 
+    # selects the CIOS lowering; "fuse" (per-iteration contribution
+    # fusion) wins on TPU Mosaic, "cat" (concatenate baseline) kept
+    # for differential testing — see tools/mul_bench.py.
+    cios_impl = os.environ.get("GNARK_TPU_CIOS", "fuse")
+
     def _cios(self, prods):
+        if self.cios_impl == "fuse":
+            return self._cios_fuse(prods)
+        return self._cios_cat(prods)
+
+    def _cios_cat(self, prods):
         """Fused CIOS Montgomery sum of products: lazy (n+1, T)
         accumulator of sum_k a_k*b_k * R^-1. prods: [(a, b), ...] with
         a, b (n, T)-ish. Accumulator limbs stay < ~n*(2k+3)*2^16 —
@@ -190,6 +202,40 @@ class TFF:
             acc = acc + jnp.concatenate([z1, q >> LIMB_BITS], 0)
             # retire limb 0 and shift down (no scatter: Mosaic has no
             # scatter-add primitive)
+            carry = acc[0] >> LIMB_BITS
+            acc = jnp.concatenate([(acc[1] + carry)[None], acc[2:], z1], 0)
+        return acc
+
+    def _cios_fuse(self, prods):
+        """CIOS with per-iteration contribution FUSION: the k product
+        rows and the q*P row are summed at aligned 16-row width first
+        (lo/hi sums fit u32: <= (k+1)*2^16), then folded into the
+        accumulator with ONE shifted-combine concat and ONE (n+1)-row
+        add — versus the baseline's four concat copies + four
+        (n+1)-row adds per outer iteration. Same contract as
+        _cios_cat: lazy (n+1, T) accumulator of sum_k a_k*b_k * R^-1.
+        Measured tools/mul_bench.py: 679 -> ~450 cycles/mul @ (16,512)."""
+        n = self.n
+        P = jnp.asarray(self.P_col)
+        a0 = prods[0][0]
+        z1 = self._z1(a0)
+        acc = jnp.zeros((n + 1,) + a0.shape[1:], _DT)
+        for i in range(n):
+            lo = hi = None
+            for (a, b) in prods:
+                pij = a[i][None] * b                   # (n, T)
+                l, h = pij & _MASK, pij >> LIMB_BITS
+                lo = l if lo is None else lo + l
+                hi = h if hi is None else hi + h
+            m = ((acc[0] + lo[0]) & _MASK) * self.n0inv & _MASK
+            q = m[None] * P                            # (n, T)
+            lo = lo + (q & _MASK)
+            hi = hi + (q >> LIMB_BITS)
+            # combined shifted contribution C = [lo, 0] + [0, hi]
+            C = jnp.concatenate(
+                [lo[0:1], lo[1:] + hi[:-1], hi[-1:]], 0)
+            acc = acc + C
+            # retire limb 0 (low 16 bits now 0) and shift down
             carry = acc[0] >> LIMB_BITS
             acc = jnp.concatenate([(acc[1] + carry)[None], acc[2:], z1], 0)
         return acc
