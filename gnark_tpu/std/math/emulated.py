@@ -38,6 +38,7 @@ BLS12-381 fr (reference emparams package).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from gnark_tpu.constraint.hints import register_hint
 
@@ -257,12 +258,19 @@ class VarModField:
 
 
 class Element:
-    """Foreign-field element: k limb variables, each < 2^B."""
+    """Foreign-field element: k limb variables, each < 2^(B+overflow).
 
-    __slots__ = ("limbs",)
+    `overflow` tracks lazy (unreduced) limb growth, the reference's
+    Element.overflow (std/math/emulated/element.go): add/sub/neg are
+    limb-wise LINEAR ops that cost zero R1CS constraints and bump the
+    overflow; only multiplicative ops (sum_of_products and friends)
+    emit a carry chain, with bounds widened by the operand overflows."""
 
-    def __init__(self, limbs):
+    __slots__ = ("limbs", "overflow")
+
+    def __init__(self, limbs, overflow: int = 0):
         self.limbs = list(limbs)
+        self.overflow = overflow
 
 
 class EmulatedField:
@@ -344,12 +352,18 @@ class EmulatedField:
         assert all(abs(d) < COEF_OFF // 2 for d, _ in lins)
         assert abs(const) < CONST_OFF // 2
 
-        lim = (1 << (B * k)) - 1
-        maxneg = (sum(-c for c, _, _ in prods if c < 0) * lim * lim
-                  + sum(-d for d, _ in lins if d < 0) * lim
+        def vmax(e):
+            # value bound 2^(B*k + overflow + 1) (lazy limbs, see
+            # Element.overflow)
+            return 1 << (B * k + e.overflow + 1)
+
+        maxneg = (sum(-c * vmax(a) * vmax(b)
+                      for c, a, b in prods if c < 0)
+                  + sum(-d * vmax(x) for d, x in lins if d < 0)
                   + max(-const, 0))
-        maxpos = (sum(c for c, _, _ in prods if c > 0) * lim * lim
-                  + sum(d for d, _ in lins if d > 0) * lim
+        maxpos = (sum(c * vmax(a) * vmax(b)
+                      for c, a, b in prods if c > 0)
+                  + sum(d * vmax(x) for d, x in lins if d > 0)
                   + max(const, 0))
         S = -(-maxneg // p)              # ceil: v + S*p >= 0 always
         qmax = (maxpos + S * p) // p
@@ -400,13 +414,81 @@ class EmulatedField:
         for i in range(k):
             coeffs[i] = api.sub(coeffs[i], r.limbs[i])
 
-        tmax = ((sum(abs(c) for c, _, _ in prods) + 1) * k << (2 * B)) \
-            + ((sum(abs(d) for d, _ in lins) + 2) << B) + (1 << B)
+        tmax = (sum(abs(c) * k
+                    << (2 * B + a.overflow + b.overflow)
+                    for c, a, b in prods)
+                + (k << (2 * B))                       # q*p rows
+                + sum(abs(d) << (B + x.overflow) for d, x in lins)
+                + (2 << B) + (1 << B))
         aux = max(tmax.bit_length() - B + 1, 2)
         self._assert_poly_zero(coeffs, aux)
         return r
 
     # -- ops ------------------------------------------------------------------
+
+    # -- lazy (no-reduce) ops: zero constraints, overflow-tracked ------------
+    #
+    # Reference analog: emulated add/sub/neg are limb-wise linear ops
+    # that never emit a reduction (std/math/emulated/field_ops.go);
+    # only multiplicative chains pay. OV_CAP guards limb growth so
+    # the carry-chain aux bound stays well under the native field.
+
+    OV_CAP = 40
+
+    def _capped(self, e: Element) -> Element:
+        return self.reduce(e) if e.overflow > self.OV_CAP else e
+
+    def add_nr(self, a: Element, b: Element) -> Element:
+        """a + b with NO constraints (lazy limbs)."""
+        a, b = self._capped(a), self._capped(b)
+        api = self.api
+        return Element([api.add(x, y) for x, y in zip(a.limbs, b.limbs)],
+                       max(a.overflow, b.overflow) + 1)
+
+    @functools.lru_cache(maxsize=None)
+    def _sub_pad(self, ob: int):
+        """Constant limb vector with each pad_i >= 2^(B+ob) and value
+        ≡ 0 mod p (the reference's subPadding) so lazy subtraction
+        limbs never go negative."""
+        g = 1 << (B + ob)
+        G = sum(g << (B * i) for i in range(self.k))
+        delta = (-G) % self.p
+        return tuple(g + ((delta >> (B * i)) & MASK)
+                     for i in range(self.k))
+
+    def sub_nr(self, a: Element, b: Element) -> Element:
+        """a - b with NO constraints (lazy limbs, padded)."""
+        a, b = self._capped(a), self._capped(b)
+        api = self.api
+        pad = self._sub_pad(b.overflow)
+        limbs = [api.sub(api.add(x, pi), y)
+                 for x, y, pi in zip(a.limbs, b.limbs, pad)]
+        return Element(limbs, max(a.overflow, b.overflow + 1) + 1)
+
+    def neg_nr(self, a: Element) -> Element:
+        return self.sub_nr(self.zero, a)
+
+    def mul_const_nr(self, a: Element, c: int) -> Element:
+        """c * a with NO constraints (c a small positive int)."""
+        assert c > 0
+        a = self._capped(a)
+        api = self.api
+        return Element([api.mul(x, c) for x in a.limbs],
+                       a.overflow + c.bit_length())
+
+    def div_unchecked(self, a: Element, b: Element) -> Element:
+        """a/b certified only by b*r == a — UNSOUND when a == b == 0
+        (r unconstrained); callers must guarantee b != 0, exactly the
+        reference's emulated Div contract used by the incomplete
+        curve formulas (sw_emulated point.go)."""
+        api = self.api
+        outs = api.new_hint("emu_divmod", self.k, self.k,
+                            *self.p_limbs, *a.limbs, *b.limbs)
+        r = self.from_limb_vars(outs)
+        d = self.sum_of_products([(1, b, r)], lins=[(-1, a)])
+        for l in d.limbs:
+            api.assert_is_equal(l, 0)
+        return r
 
     def mul(self, a: Element, b: Element) -> Element:
         return self.sum_of_products([(1, a, b)])
@@ -487,9 +569,10 @@ class EmulatedField:
     def select(self, cond, a: Element, b: Element) -> Element:
         api = self.api
         return Element([api.select(cond, x, y)
-                        for x, y in zip(a.limbs, b.limbs)])
+                        for x, y in zip(a.limbs, b.limbs)],
+                       max(a.overflow, b.overflow))
 
     def assert_is_equal(self, a: Element, b: Element) -> None:
-        d = self.sub(a, b)
+        d = self.sum_of_products(lins=[(1, a), (-1, b)])
         for l in d.limbs:
             self.api.assert_is_equal(l, 0)
