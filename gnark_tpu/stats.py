@@ -422,10 +422,7 @@ def _emu_smul():
             cur = sw.EmulatedCurve(api, sw.SECP256K1)
             f = cur.f
             P = (f.from_limb_vars(self.x), f.from_limb_vars(self.y))
-            bits = []
-            for lv in self.s[:4]:
-                bits += api.to_binary(lv, 64)
-            cur.scalar_mul_bits(P, bits)
+            cur.scalar_mul(P, self.s)   # GLV (point.go scalarMulGLV)
     return C()
 
 

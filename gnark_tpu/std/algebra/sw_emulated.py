@@ -12,6 +12,7 @@ Curves: secp256k1 (for ECDSA), P-256 params included.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from gnark_tpu.std.math import emulated as emu
 
@@ -25,6 +26,11 @@ class SWParams:
     b: int
     gx: int
     gy: int
+    # GLV endomorphism phi(x, y) = (beta*x, y) = [lam]P for j=0
+    # curves (reference sw_emulated curve.go eigenvalue/thirdRootOne);
+    # 0 -> no endomorphism, scalar_mul falls back to the plain ladder
+    lam: int = 0            # eigenvalue mod fr (lam^2 + lam + 1 = 0)
+    beta: int = 0           # cube root of 1 mod fp
 
 
 SECP256K1 = SWParams(
@@ -32,6 +38,8 @@ SECP256K1 = SWParams(
     fp=emu.SECP256K1_FP, fr=emu.SECP256K1_FR, a=0, b=7,
     gx=0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
     gy=0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    lam=0x5363AD4CC05C30E0A5261C028812645A122E22EA20816678DF02967C1B23BD72,
+    beta=0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE,
 )
 
 P256_FR = emu.EmuParams(
@@ -48,6 +56,67 @@ P256 = SWParams(
 )
 
 _h = emu  # brevity
+
+
+@functools.lru_cache(maxsize=None)
+def _glv_basis(n: int, lam: int):
+    """Two short lattice vectors (a, b) with a + b*lam ≡ 0 (mod n)
+    (GLV'99 extended-Euclid construction)."""
+    import math
+    sq = math.isqrt(n)
+    r0, r1 = n, lam
+    t0, t1 = 0, 1
+    seq = [(r0, t0), (r1, t1)]
+    while seq[-1][0] >= sq:
+        q = seq[-2][0] // seq[-1][0]
+        seq.append((seq[-2][0] - q * seq[-1][0],
+                    seq[-2][1] - q * seq[-1][1]))
+    # first |r| < sqrt(n) is seq[-1] = (r_{l+1}, t_{l+1})
+    rl1, tl1 = seq[-1]
+    rl, tl = seq[-2]
+    v1 = (rl1, -tl1)
+    # second vector: shorter of (r_l, -t_l) and the next remainder
+    q = rl // rl1
+    rl2, tl2 = rl - q * rl1, tl - q * tl1
+    c2a = (rl, -tl)
+    c2b = (rl2, -tl2)
+    v2 = c2a if c2a[0] ** 2 + c2a[1] ** 2 <= c2b[0] ** 2 + c2b[1] ** 2 \
+        else c2b
+    return v1, v2
+
+
+def glv_split(n: int, lam: int, k: int):
+    """k -> (k1, k2) with k1 + k2*lam ≡ k (mod n), |ki| ~ sqrt(n)."""
+    (a1, b1), (a2, b2) = _glv_basis(n, lam)
+    det = a1 * b2 - a2 * b1          # = ±n for this lattice
+
+    def rnd(num, den):
+        if den < 0:
+            num, den = -num, -den
+        return (2 * num + den) // (2 * den)
+
+    c1 = rnd(b2 * k, det)
+    c2 = rnd(-b1 * k, det)
+    k1 = k - c1 * a1 - c2 * a2
+    k2 = -c1 * b1 - c2 * b2
+    assert (k1 + k2 * lam - k) % n == 0
+    return k1, k2
+
+
+@emu.register_hint("glv_decompose")
+def _glv_decompose(q, inputs):
+    """[k, n_limbs(k), lam_limbs(k), s_limbs(k)] ->
+    [neg1, neg2, |s1| (3 limbs), |s2| (3 limbs)]."""
+    k = inputs[0]
+    n = emu._val(inputs, k, 1)
+    lam = emu._val(inputs, k, 1 + k)
+    s = emu._val(inputs, k, 1 + 2 * k) % n
+    k1, k2 = glv_split(n, lam, s)
+    assert abs(k1) < (1 << 130) and abs(k2) < (1 << 130)
+    out = [1 if k1 < 0 else 0, 1 if k2 < 0 else 0]
+    for v in (abs(k1), abs(k2)):
+        out += [(v >> (emu.B * i)) & emu.MASK for i in range(3)]
+    return out
 
 
 class EmulatedCurve:
@@ -70,24 +139,30 @@ class EmulatedCurve:
         f.assert_is_equal(f.mul(y, y), rhs)
 
     def add_distinct(self, P, Q):
-        """P + Q, requires x_P != x_Q (lambda division enforces it)."""
+        """P + Q, incomplete: requires x_P != x_Q (the reference Add
+        contract, point.go:281-293 — 0/0 leaves lambda unconstrained,
+        callers must guarantee distinctness)."""
         f = self.f
         x1, y1 = P
         x2, y2 = Q
-        lam = f.div(f.sub(y2, y1), f.sub(x2, x1))
-        x3 = f.sub(f.sub(f.mul(lam, lam), x1), x2)
-        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+        lam = f.div_unchecked(f.sub_nr(y2, y1), f.sub_nr(x2, x1))
+        x3 = f.sum_of_products([(1, lam, lam)],
+                               lins=[(-1, x1), (-1, x2)])
+        y3 = f.sum_of_products([(1, lam, f.sub_nr(x1, x3))],
+                               lins=[(-1, y1)])
         return (x3, y3)
 
     def double(self, P):
+        """[2]P (y_P != 0 assumed; reference point.go:376-398)."""
         f = self.f
         x1, y1 = P
-        num = f.mul(f.from_const(3), f.mul(x1, x1))
+        num = f.sum_of_products([(3, x1, x1)])
         if self.params.a:
-            num = f.add(num, f.from_const(self.params.a))
-        lam = f.div(num, f.mul(f.from_const(2), y1))
-        x3 = f.sub(f.mul(lam, lam), f.mul(f.from_const(2), x1))
-        y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+            num = f.add_nr(num, f.from_const(self.params.a))
+        lam = f.div_unchecked(num, f.add_nr(y1, y1))
+        x3 = f.sum_of_products([(1, lam, lam)], lins=[(-2, x1)])
+        y3 = f.sum_of_products([(1, lam, f.sub_nr(x1, x3))],
+                               lins=[(-1, y1)])
         return (x3, y3)
 
     def add_unified(self, P, Q):
@@ -133,30 +208,225 @@ class EmulatedCurve:
         y3 = f.select(q_inf, f.select(p_inf, zero, y1), y3)
         return (x3, y3)
 
-    def scalar_mul_bits(self, P, bits):
-        """[k]P for k given as LSB-first circuit booleans, k >= 1.
+    def double_and_add(self, P, Q):
+        """2P + Q via two chords sharing x2 (reference sw_emulated
+        point.go doubleAndAdd): 2 unchecked divisions + 3 carry
+        chains, no y2 computation. Incomplete: requires P != ±Q and
+        2P != -Q."""
+        f = self.f
+        xp, yp = P
+        xq, yq = Q
+        lam1 = f.div_unchecked(f.sub_nr(yq, yp), f.sub_nr(xq, xp))
+        x2 = f.sum_of_products([(1, lam1, lam1)],
+                               lins=[(-1, xp), (-1, xq)])
+        # lam2 = -lam1 - 2yp/(x2 - xp)
+        t = f.div_unchecked(f.add_nr(yp, yp), f.sub_nr(x2, xp))
+        lam2 = f.neg_nr(f.add_nr(lam1, t))
+        x3 = f.sum_of_products([(1, lam2, lam2)],
+                               lins=[(-1, xp), (-1, x2)])
+        y3 = f.sum_of_products([(1, lam2, f.sub_nr(xp, x3))],
+                               lins=[(-1, yp)])
+        return (x3, y3)
 
-        Montgomery-ladder-free double-and-add with select; the
-        accumulator is offset by P to avoid the point at infinity
-        (standard incomplete-formula trick), then P is subtracted.
-        """
+    def _phi(self, P):
+        """GLV endomorphism (beta*x, y) = [lam]P (j = 0 curves)."""
+        assert self.params.beta, "curve has no endomorphism"
+        f = self.f
+        bx = f.sum_of_products([(1, f.from_const(self.params.beta),
+                                 P[0])])
+        return (bx, P[1])
+
+    def triple(self, P):
+        """[3]P: tangent first (double_and_add's chord would be 0/0 at
+        P == Q), then the shared-x2 chord (reference point.go:423-461).
+        Assumes a = 0 curves on this path (the GLV curves)."""
+        f = self.f
+        x, y = P
+        assert not self.params.a, "triple: a != 0 unsupported"
+        xx = f.sum_of_products([(1, x, x)])
+        lam1 = f.div_unchecked(f.mul_const_nr(xx, 3), f.add_nr(y, y))
+        x2 = f.sum_of_products([(1, lam1, lam1)], lins=[(-2, x)])
+        t = f.div_unchecked(f.add_nr(y, y), f.sub_nr(x2, x))
+        lam2 = f.neg_nr(f.add_nr(lam1, t))
+        x3 = f.sum_of_products([(1, lam2, lam2)],
+                               lins=[(-1, x), (-1, x2)])
+        y3 = f.sum_of_products([(1, lam2, f.sub_nr(x, x3))],
+                               lins=[(-1, y)])
+        return (x3, y3)
+
+    def _mux8(self, bits3, entries):
+        """3-bit binary-tree mux over 8 emulated elements."""
+        f = self.f
+        b0, b1, b2 = bits3
+        l1 = [f.select(b0, entries[2 * i + 1], entries[2 * i])
+              for i in range(4)]
+        l2 = [f.select(b1, l1[2 * i + 1], l1[2 * i]) for i in range(2)]
+        return f.select(b2, l2[1], l2[0])
+
+    def _signed_joint_ladder(self, P1, P2, bits1, bits2):
+        """[u1]P1 + [u2]P2 where ui = 2*ci + 1 and ci is the value of
+        the (equal-length ODD-length, LSB-first) bit vectors bitsi.
+
+        Two bits of each scalar per iteration (the reference's merged
+        GLV loop, point.go:737-830): Acc = [4]Acc + T with T looked
+        up from the 16 combinations [±1,±3]P1 + [±1,±3]P2 (8 distinct
+        x-coordinates + a y sign). The accumulator coefficients after
+        a double are EVEN while every T coefficient is ODD, so
+        Acc == ±T never holds as an integer identity — the ladder is
+        exception-free apart from small-order coincidences (which
+        make the circuit unsatisfiable, not wrong)."""
         f = self.f
         api = self.api
-        acc = P                     # represents P + sum(...)
-        cur = self.double(P) if len(bits) > 1 else P
-        for i, b in enumerate(bits[1:], start=1):
-            added = self.add_distinct(acc, cur)
-            acc = (f.select(b, added[0], acc[0]),
-                   f.select(b, added[1], acc[1]))
-            if i + 1 < len(bits):
-                cur = self.double(cur)
-        # acc = P + k'P where k' = k with bit0 forced... correct for the
-        # offset: if bit0 == 0, subtract P (acc currently P + (k-bit0)P)
-        # subtracting P: add (x_P, -y_P)
-        negP = (P[0], f.sub(f.from_const(0), P[1]))
-        sub1 = self.add_distinct(acc, negP)
-        return (f.select(bits[0], acc[0], sub1[0]),
-                f.select(bits[0], acc[1], sub1[1]))
+        m = len(bits1)
+        assert len(bits2) == m and m % 2 == 1
+
+        def neg(P):
+            return (P[0], f.neg_nr(P[1]))
+
+        S = self.add_distinct(P1, P2)                 # T2: P1+P2
+        P1_3 = self.triple(P1)
+        P2_3 = self.triple(P2)
+        t1 = self.add_distinct(P1_3, P2_3)            # 3P1+3P2
+        T3 = self.add_distinct(P1_3, P2)              # 3P1+P2
+        t4 = self.add_distinct(P1, P2_3)              # P1+3P2
+        t9 = self.add_distinct(P1_3, neg(P2))         # 3P1-P2
+        T10 = self.add_distinct(P1, neg(P2_3))        # P1-3P2
+        T11 = self.add_distinct(P1_3, neg(P2_3))      # 3P1-3P2
+        T12 = self.add_distinct(P1, neg(P2))          # P1-P2
+        T2, T6, T7, T14, T15 = S, neg(t1), neg(t4), neg(t9), neg(T12)
+        # x/y entry order indexed by selectorX (reference
+        # point.go:810-822); y sign flipped when b2_low = 1
+        xs = [T6[0], T10[0], T14[0], T2[0],
+              T7[0], T11[0], T15[0], T3[0]]
+        ys = [T6[1], T10[1], T14[1], T2[1],
+              T7[1], T11[1], T15[1], T3[1]]
+
+        # top (unpaired) bit: Acc = [2]S + (±P1 ±P2)
+        b1, b2 = bits1[m - 1], bits2[m - 1]
+        xor = api.xor(b1, b2)
+        D = T12
+        tx = f.select(xor, D[0], S[0])
+        ty = f.select(b1, f.select(b2, S[1], D[1]),
+                      f.select(b2, f.neg_nr(D[1]), f.neg_nr(S[1])))
+        acc = self.double(S)
+        acc = self.add_distinct(acc, (tx, ty))
+
+        for i in range(m - 2, 0, -2):
+            b1i, b2i = bits1[i], bits2[i]
+            b1l, b2l = bits1[i - 1], bits2[i - 1]
+            sel_y = api.add(b1i, api.mul(b2i, 2), api.mul(b1l, 4),
+                            api.mul(b2l, 8))
+            sel_x = api.add(
+                api.mul(sel_y, api.sub(1, api.mul(b2l, 2))),
+                api.mul(b2l, 15))
+            xb = api.to_binary(sel_x, 3)
+            tx = self._mux8(xb, xs)
+            ty0 = self._mux8(xb, ys)
+            ty = f.select(b2l, f.neg_nr(ty0), ty0)   # neg is free (lazy)
+            acc = self.double(acc)
+            acc = self.double_and_add(acc, (tx, ty))
+        return acc
+
+    def scalar_mul_glv(self, P, s_limbs):
+        """[s]P via GLV: s = ±s1 ± lam*s2 with |si| < 2^130 from a
+        hint, verified in-circuit mod fr; then one 130-iteration
+        joint signed ladder over (±P, ±phi(P)). ~150k constraints for
+        secp256k1 vs 1.63M for the plain 256-bit ladder (reference
+        scalarMulGLV, point.go:667-860).
+
+        s_limbs: k scalar-field limb variables (LSB first).
+        Complete over the identity encoding (0,0) and s ≡ 0."""
+        pr = self.params
+        assert pr.lam and pr.beta, "curve has no endomorphism"
+        f = self.f
+        api = self.api
+        fr = emu.EmulatedField(api, pr.fr)
+        se = fr.from_limb_vars(list(s_limbs))
+        k = fr.k
+
+        # identity-input guard (reference: swap in a dummy, select out)
+        p_inf = api.and_(f.is_zero(P[0]), f.is_zero(P[1]))
+        one = f.from_const(1)
+        P = (f.select(p_inf, one, P[0]), f.select(p_inf, one, P[1]))
+
+        outs = api.new_hint(
+            "glv_decompose", 8, k,
+            *[pr.fr.modulus >> (emu.B * i) & emu.MASK for i in range(k)],
+            *[pr.lam >> (emu.B * i) & emu.MASK for i in range(k)],
+            *se.limbs)
+        neg1, neg2 = outs[0], outs[1]
+        api.assert_is_boolean(neg1)
+        api.assert_is_boolean(neg2)
+        s1l, s2l = outs[2:5], outs[5:8]
+        bits1, bits2 = [], []
+        for limbs, bits in ((s1l, bits1), (s2l, bits2)):
+            for j, l in enumerate(limbs):
+                bits.extend(api.to_binary(l, 2 if j == 2 else emu.B))
+        s1e = fr.from_limb_vars(list(s1l) + [0] * (k - 3))
+        s2e = fr.from_limb_vars(list(s2l) + [0] * (k - 3))
+        # s == (-1)^neg1 s1 + lam * (-1)^neg2 s2  (mod fr)
+        e1 = fr.select(neg1, fr.neg(s1e), s1e)
+        e2 = fr.select(neg2, fr.neg(s2e), s2e)
+        lam_c = fr.from_const(pr.lam)
+        d = fr.sum_of_products([(1, lam_c, e2)],
+                               lins=[(1, e1), (-1, se)])
+        for l in d.limbs:
+            api.assert_is_equal(l, 0)
+
+        # signed base points: Q1 = (-1)^neg1 P, Q2 = (-1)^neg2 phi(P)
+        negy = f.neg_nr(P[1])
+        Q1 = (P[0], f.select(neg1, negy, P[1]))
+        phx = f.sum_of_products([(1, f.from_const(pr.beta), P[0])])
+        Q2 = (phx, f.select(neg2, negy, P[1]))
+
+        # odd-ify: ui = 2*(si >> 1) + 1; ci bits are si's bits[1:]
+        par1, c1bits = bits1[0], bits1[1:]
+        par2, c2bits = bits2[0], bits2[1:]
+        acc = self._signed_joint_ladder(Q1, Q2, c1bits, c2bits)
+        # subtract Qi where si was even (ui = si + 1)
+        negQ1 = (Q1[0], f.neg_nr(Q1[1]))
+        negQ2 = (Q2[0], f.neg_nr(Q2[1]))
+        cor1 = self.add_unified(acc, negQ1)
+        acc = (f.select(par1, acc[0], cor1[0]),
+               f.select(par1, acc[1], cor1[1]))
+        cor2 = self.add_unified(acc, negQ2)
+        acc = (f.select(par2, acc[0], cor2[0]),
+               f.select(par2, acc[1], cor2[1]))
+        zero = f.from_const(0)
+        return (f.select(p_inf, zero, acc[0]),
+                f.select(p_inf, zero, acc[1]))
+
+    def scalar_mul_bits(self, P, bits):
+        """[k]P for k given as LSB-first circuit booleans; P not the
+        identity. Signed-digit ladder: with c = k >> 1 (bits[1:]) the
+        loop computes [2c+1]P — every step is double + add of ±P
+        (accumulator coefficient even vs odd addend: no exceptional
+        equalities as integer identities) — then P is subtracted when
+        k was even. ~2.6x cheaper than the select-based double-and-add
+        it replaces (1300 vs 3400 constraints per bit)."""
+        f = self.f
+        negPy = f.neg_nr(P[1])
+        acc = P
+        for b in reversed(bits[1:]):
+            acc = self.double(acc)
+            ty = f.select(b, P[1], negPy)
+            acc = self.add_distinct(acc, (P[0], ty))
+        # k even -> computed [k+1]P: subtract P (complete: k may be 0)
+        cor = self.add_unified(acc, (P[0], negPy))
+        return (f.select(bits[0], acc[0], cor[0]),
+                f.select(bits[0], acc[1], cor[1]))
+
+    def scalar_mul(self, P, s_limbs, nbits: int = 256):
+        """[s]P from k scalar limb variables: GLV when the curve has
+        an endomorphism, otherwise the plain signed ladder over the
+        scalar's bits (reference ScalarMul dispatch, point.go:646)."""
+        if self.params.lam:
+            return self.scalar_mul_glv(P, s_limbs)
+        api = self.api
+        bits = []
+        for l in s_limbs:
+            bits.extend(api.to_binary(l, emu.B))
+        return self.scalar_mul_bits(P, bits[:nbits])
 
 
 def ecdsa_verify(api, curve_params: SWParams, pub, msg_hash_limbs,
@@ -182,15 +452,8 @@ def ecdsa_verify(api, curve_params: SWParams, pub, msg_hash_limbs,
 
     curve.assert_on_curve(pub)
 
-    def scalar_bits(e):
-        # bit-decompose each 64-bit limb (already range-checked)
-        bits = []
-        for l in e.limbs:
-            bits.extend(api.to_binary(l, emu.B))
-        return bits[:nbits]
-
-    P1 = curve.scalar_mul_bits(curve.generator(), scalar_bits(u1))
-    P2 = curve.scalar_mul_bits(pub, scalar_bits(u2))
+    P1 = curve.scalar_mul(curve.generator(), u1.limbs, nbits)
+    P2 = curve.scalar_mul(pub, u2.limbs, nbits)
     Rp = curve.add_distinct(P1, P2)
 
     # assert r == R'.x mod n, INCLUDING the R'.x >= n wraparound branch
