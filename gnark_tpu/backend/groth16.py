@@ -387,7 +387,14 @@ def _g1_stage_fn(fr_name: str, fp_name: str, N: int, nb_pub: int,
     dom = get_domain(ffr, N)
 
     @jax.jit
-    def f(av, bv, cv, den_m, wire_limbs, g1_a, g1_b, g1_z, g1_k):
+    def f(abc_raw, wire_raw, den_m, g1_a, g1_b, g1_z, g1_k):
+        # raw u64-view inputs: limb split + Montgomery convert happen
+        # IN-GRAPH (halves host->device bytes and removes 4 eager
+        # to_mont dispatches at ~0.3s tunnel latency each)
+        av = ffr.to_mont(ffr.limbs_from_u32(abc_raw[0]))
+        bv = ffr.to_mont(ffr.limbs_from_u32(abc_raw[1]))
+        cv = ffr.to_mont(ffr.limbs_from_u32(abc_raw[2]))
+        wire_limbs = ffr.limbs_from_u32(wire_raw)
         ac = dom.fft(dom.ifft(av), coset=True)
         bc = dom.fft(dom.ifft(bv), coset=True)
         cc = dom.fft(dom.ifft(cv), coset=True)
@@ -404,12 +411,14 @@ def _g1_stage_fn(fr_name: str, fp_name: str, N: int, nb_pub: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _g2_stage_fn(curve_name: str, nbits: int):
+def _g2_stage_fn(curve_name: str, fr_name: str, nbits: int):
     curve = curves_mod.CURVES[curve_name]
     ff2 = _g2_field(curve)
+    ffr = get_ff(fr_name)
 
     @jax.jit
-    def f(g2_b, wire_limbs):
+    def f(g2_b, wire_raw):
+        wire_limbs = ffr.limbs_from_u32(wire_raw)
         r = msm(ff2, g2_b, wire_limbs, nbits)
         return jac_to_affine(ff2, _tup1(r))
     return f
@@ -487,36 +496,44 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
     # --- computeH on device (prove.go:346-389) ---
     pad = N - len(sol.a)
     abc_u64 = getattr(sol, "abc_u64", None)
+    nl = (curve.fr.bits + 63) // 64
     if abc_u64 is not None and len(sol.a) == abc_u64.shape[1]:
         zp = np.zeros((3, pad, abc_u64.shape[2]), dtype=np.uint64)
         abc_p = np.concatenate([abc_u64, zp], axis=1) if pad else abc_u64
-        av = ffr.encode_u64(abc_p[0], mont=True)
-        bv = ffr.encode_u64(abc_p[1], mont=True)
-        cv = ffr.encode_u64(abc_p[2], mont=True)
     else:
-        av = jnp.asarray(ffr.encode(sol.a + [0] * pad))
-        bv = jnp.asarray(ffr.encode(sol.b + [0] * pad))
-        cv = jnp.asarray(ffr.encode(sol.c + [0] * pad))
+        abc_p = np.zeros((3, N, nl), dtype=np.uint64)
+        m64 = (1 << 64) - 1
+        for j, col in enumerate((sol.a, sol.b, sol.c)):
+            for i, v in enumerate(col):
+                for li in range(nl):
+                    abc_p[j, i, li] = (v >> (64 * li)) & m64
+    # raw u64 views: half the upload bytes of 16-bit limb arrays;
+    # limb split + to-Montgomery run inside the fused stage jit
+    abc_raw = ffr.u64_view(abc_p)
     den = pow(pow(curve.fr.generator, N, q) - 1, -1, q)
     den_m = jnp.asarray(ffr.encode([den]))
 
     vals_u64 = getattr(sol, "values_u64", None)
-    if vals_u64 is not None:
-        wire_limbs = jnp.asarray(ffr.encode_u64(vals_u64, mont=False))
-    else:
-        wire_limbs = _scalar_limbs(ffr, sol.values)
+    if vals_u64 is None:
+        vals_u64 = np.zeros((len(sol.values), nl), dtype=np.uint64)
+        m64 = (1 << 64) - 1
+        for i, v in enumerate(sol.values):
+            for li in range(nl):
+                vals_u64[i, li] = (v >> (64 * li)) & m64
+    wire_raw = ffr.u64_view(vals_u64)
+    wire_limbs = None                     # built lazily for mesh path
     nbits = curve.fr.bits
 
     if mesh is None:
         # fused single-dispatch G1 side + single-dispatch G2 side
         g1_aff = _decode_affine(ffp, _g1_stage_fn(
             curve.fr.name, curve.fp.name, N, cs.nb_public, nbits)(
-            av, bv, cv, den_m, wire_limbs, pk.g1_a, pk.g1_b,
+            abc_raw, wire_raw, den_m, pk.g1_a, pk.g1_b,
             pk.g1_z, pk.g1_k))
         ar_m, bs1_m, krs2_m, krs_m = g1_aff
         _mark("computeH+G1 msm")
-        bs2_m = _decode_affine(ff2, _g2_stage_fn(curve.name, nbits)(
-            pk.g2_b, wire_limbs))[0]
+        bs2_m = _decode_affine(ff2, _g2_stage_fn(
+            curve.name, curve.fr.name, nbits)(pk.g2_b, wire_raw))[0]
         _mark("G2 msm")
     else:
         from gnark_tpu.parallel import msm_sharded
@@ -538,6 +555,10 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
             return msm_sharded(f, (x_, y_, inf_), sc, nb, mesh,
                                axis=mesh_axis)
 
+        av = ffr.to_mont(ffr.limbs_from_u32(jnp.asarray(abc_raw[0])))
+        bv = ffr.to_mont(ffr.limbs_from_u32(jnp.asarray(abc_raw[1])))
+        cv = ffr.to_mont(ffr.limbs_from_u32(jnp.asarray(abc_raw[2])))
+        wire_limbs = ffr.limbs_from_u32(jnp.asarray(wire_raw))
         h_plain = _compute_h_fn(curve.fr.name, N)(av, bv, cv, den_m)
         _mark("computeH")
         ar_j = _msm(ffp, pk.g1_a, wire_limbs, nbits)

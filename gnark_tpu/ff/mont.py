@@ -95,6 +95,31 @@ class FF:
             return out
         return self.to_mont(jnp.asarray(out))
 
+    def limbs_from_u32(self, w):
+        """(..., nw) uint32 words (the little-endian view of u64
+        limbs) -> (..., n) 16-bit limb rows, pure XLA ops — the
+        in-graph half of the zero-copy solver->device path: the host
+        uploads raw u64 solver output (half the bytes of a 16-bit limb
+        array) and the jit splits+converts, fused with whatever
+        consumes it."""
+        lo = w & jnp.uint32(0xFFFF)
+        hi = w >> 16
+        inter = jnp.stack([lo, hi], axis=-1).reshape(
+            w.shape[:-1] + (w.shape[-1] * 2,))
+        n = self.n
+        if inter.shape[-1] >= n:
+            return inter[..., :n]
+        pad = jnp.zeros(w.shape[:-1] + (n - inter.shape[-1],),
+                        jnp.uint32)
+        return jnp.concatenate([inter, pad], axis=-1)
+
+    @staticmethod
+    def u64_view(arr_u64) -> np.ndarray:
+        """Host zero-copy view: (..., nl) u64 -> (..., 2*nl) u32."""
+        a = np.ascontiguousarray(np.asarray(arr_u64, dtype=np.uint64))
+        return a.view(np.uint32).reshape(a.shape[:-1] +
+                                         (a.shape[-1] * 2,))
+
     def decode(self, limbs, mont: bool = True) -> np.ndarray:
         """Limb array -> numpy object array of Python ints."""
         arr = np.asarray(limbs)

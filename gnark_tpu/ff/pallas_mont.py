@@ -214,7 +214,9 @@ class TFF:
         add — versus the baseline's four concat copies + four
         (n+1)-row adds per outer iteration. Same contract as
         _cios_cat: lazy (n+1, T) accumulator of sum_k a_k*b_k * R^-1.
-        Measured tools/mul_bench.py: 679 -> ~450 cycles/mul @ (16,512)."""
+        Measured tools/mul_bench.py: 679 -> 666 cycles/mul @ (16,512)
+        (Mosaic already fused most concat copies; kept for the small
+        win and the simpler op stream)."""
         n = self.n
         P = jnp.asarray(self.P_col)
         a0 = prods[0][0]

@@ -413,14 +413,34 @@ def msm_bucket_chunked(ff: FF, points, scalars, nbits: int,
     backend/accelerated/icicle/groth16/bn254/icicle.go:555-782 —
     chunk count from free device memory; here a fixed 2^20-point
     default, env GNARK_TPU_MSM_CHUNK overrides, mirroring
-    ICICLE_MSM_CHUNK_CAP)."""
+    ICICLE_MSM_CHUNK_CAP).
+
+    When n is a multiple of the chunk size the chunk loop is a
+    lax.scan — ONE traced kernel instance regardless of chunk count,
+    so 2^22+ MSMs compile in the same time as one 2^20 chunk."""
     if chunk is None:
         chunk = int(os.environ.get("GNARK_TPU_MSM_CHUNK", str(1 << 20)))
     x, y, inf = points
     n = x.shape[0]
     if n <= chunk:
         return msm_bucket(ff, points, scalars, nbits)
-    from gnark_tpu.ec.weierstrass import jac_add
+    from gnark_tpu.ec.weierstrass import jac_add, jac_inf
+    if n % chunk == 0:
+        C = n // chunk
+        xs = (x.reshape((C, chunk) + x.shape[1:]),
+              y.reshape((C, chunk) + y.shape[1:]),
+              inf.reshape(C, chunk),
+              scalars.reshape(C, chunk, scalars.shape[1]))
+
+        def body(carry, cx):
+            cxx, cyy, cinf, csc = cx
+            part = _msm_bucket_jit(ff, (cxx, cyy, cinf, csc), nbits)
+            return jac_add(ff, carry, part), None
+
+        init = tuple(a[0] for a in jac_inf(ff, (1,)))
+        init = tuple(match_vma(a, x) for a in init)
+        acc, _ = jax.lax.scan(body, init, xs)
+        return acc
     acc = None
     for off in range(0, n, chunk):
         end = min(off + chunk, n)

@@ -227,12 +227,13 @@ def msm(f, points, scalars, nbits: int, c: int | None = None,
     fname = getattr(getattr(f, "p", None), "name", None)
     if want_bucket and fname in FIELDS:
         from gnark_tpu.msm.bucket_kernel import (curve_b3, curve_b3_g2,
-                                                 msm_bucket)
+                                                 msm_bucket_chunked)
         if points[0].ndim == 2 and curve_b3(fname) is not None:
-            return msm_bucket(f, points, scalars, nbits)   # G1
+            return msm_bucket_chunked(f, points, scalars, nbits)  # G1
         if (points[0].ndim == 3 and curve_b3_g2(fname) is not None
                 and getattr(f, "_nr_small", None) is not None):
-            return msm_bucket(f, points, scalars, nbits)   # G2 / Fp2
+            return msm_bucket_chunked(f, points, scalars,
+                                      nbits)                # G2 / Fp2
     x, y, inf = points
     n = x.shape[0]
     # round the size up to a power-of-two class (>= 64) so repeated
