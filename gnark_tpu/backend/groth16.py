@@ -64,10 +64,11 @@ class CommitmentKey:
     """Pedersen key for one BSB22 commitment
     (reference: gnark-crypto pedersen.ProvingKey/VerifyingKey,
     wired by backend/groth16/bn254/setup.go:279-287)."""
-    wires: tuple          # committed (private) wire ids
-    basis: list           # host G1 points, one per committed wire
+    wires: tuple          # committed wire ids (public first)
+    basis: list           # host G1 points, one per PRIVATE committed wire
     basis_exp_sigma: list # sigma * basis
     g2_sigma: tuple       # sigma * g2 (verifier side)
+    nb_public: int = 0    # leading wires that are hashed, not committed
 
 
 @dataclasses.dataclass
@@ -102,6 +103,10 @@ class VerifyingKey:
     g2_gamma: tuple
     g2_delta: tuple
     commitment_g2_sigma: list = dataclasses.field(default_factory=list)
+    # per commitment: wire ids of public/prior-commitment committed
+    # wires, hashed into the commitment value (verify.go:79-103
+    # PublicAndCommitmentCommitted)
+    commitment_pac: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -113,13 +118,34 @@ class Proof:
     poks: list = dataclasses.field(default_factory=list)
 
 
-def _hash_to_field(curve, point, recursion: bool = False) -> int:
+def _pac_indices(cs, nb_pub):
+    """Per commitment: 1-based indices into the EXTENDED public
+    vector (publics then commitment values) of the hashed
+    public/prior-commitment committed wires (the reference's
+    vk.PublicAndCommitmentCommitted, verify.go:79-103)."""
+    cm_idx_of_wire = {cm.commitment_wire: ci
+                      for ci, cm in enumerate(cs.commitments)}
+    out = []
+    for cm in cs.commitments:
+        idxs = []
+        for w in cm.committed_wires[:cm.nb_public_committed]:
+            if w < nb_pub:
+                idxs.append(w)
+            else:
+                idxs.append(nb_pub + cm_idx_of_wire[w])
+        out.append(tuple(idxs))
+    return out
+
+
+def _hash_to_field(curve, point, recursion: bool = False,
+                   public_committed=()) -> int:
     """Commitment wire value from a commitment point. Default: gnark's
     fr/hash_to_field with dst "bsb22-commitment"
     (constraint.CommitmentDst) over the uncompressed point bytes
-    (backend/groth16/bn254/prove.go:57-58,87-96) — bit-exact; the
-    SerializeCommitment public-committed suffix is empty because we
-    reject public committed wires like the CS reader does.
+    (backend/groth16/bn254/prove.go:57-58,87-96) — bit-exact,
+    including the SerializeCommitment public-committed value suffix
+    (constraint.SerializeCommitment; empty when nothing public is
+    committed).
 
     recursion=True: MiMC over the 2-chain outer field, truncated to
     rbits-8 bits, so the in-circuit verifier recomputes it natively
@@ -130,6 +156,9 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
     if recursion == "evm":
         # the reference swaps HashToFieldFn for a plain evm hash when
         # targeting the contract (verify.go:157-159)
+        if public_committed:
+            raise NotImplementedError(
+                "public committed wires with the evm hash mode")
         import hashlib
         nb = -(-curve.fp.modulus.bit_length() // 8)
         raw = (b"\x00" * 2 * nb if point is host.INF else
@@ -137,6 +166,9 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
                + point[1].to_bytes(nb, "big"))
         return int.from_bytes(hashlib.sha256(raw).digest(),
                               "big") % curve.fr.modulus
+    if recursion and public_committed:
+        raise NotImplementedError(
+            "public committed wires with recursion-friendly hashes")
     if recursion:
         from gnark_tpu.backend.transcript import outer_mimc_field
         from gnark_tpu.std.hash.mimc import MiMC
@@ -149,8 +181,8 @@ def _hash_to_field(curve, point, recursion: bool = False) -> int:
         return h.sum() & mask
     from gnark_tpu.backend import gnark_fs
     return gnark_fs.bsb22_groth16_value(
-        curve, None if point is host.INF else point, [],
-        curve.fr.modulus)
+        curve, None if point is host.INF else point,
+        list(public_committed), curve.fr.modulus)
 
 
 def _encode_affine_host(ff, pts):
@@ -241,13 +273,13 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
     # wires, committed wires) / delta^-1 (other private). Commitment
     # wires verify like publics; committed wires form the Pedersen
     # bases (setup.go:140-178 commitment handling).
-    committed = {}           # wire -> commitment index
+    committed = {}           # PRIVATE committed wire -> commitment idx
     cm_wires = {}            # commitment wire -> commitment index
     for ci, cm in enumerate(cs.commitments):
-        for wid in cm.committed_wires:
-            if wid < nb_pub:
-                raise NotImplementedError(
-                    "committing public wires is not supported yet")
+        # public/prior-commitment committed wires are hashed, not
+        # Pedersen-committed: they stay ordinary vkK wires
+        # (setup.go:140-178 isPublic/isCommitment branches)
+        for wid in cm.committed_wires[cm.nb_public_committed:]:
             committed[wid] = ci
         cm_wires[cm.commitment_wire] = ci
     kv_all = [(beta * A[i] + alpha * B[i] + C[i]) % q
@@ -263,9 +295,11 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
     # commitment-wire K points go to the vk (verifier recomputes values)
     vkK += [kv_all[cm.commitment_wire] * gamma_inv % q
             for cm in cs.commitments]
-    # Pedersen bases in COMMITTED-WIRE ORDER (the prover pairs the hint
-    # input values positionally with the basis)
-    ckK = [[kv_all[w] * gamma_inv % q for w in cm.committed_wires]
+    # Pedersen bases in COMMITTED-WIRE ORDER over the PRIVATE wires
+    # (the prover pairs the hint inputs positionally: public-committed
+    # first, then private = basis order)
+    ckK = [[kv_all[w] * gamma_inv % q
+            for w in cm.committed_wires[cm.nb_public_committed:]]
            for cm in cs.commitments]
     sigmas = [rnd(q) or 1 for _ in cs.commitments]
     ck_scalars = []
@@ -316,7 +350,8 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
         off_ck += 2 * nb
         commitment_keys.append(CommitmentKey(
             wires=cm.committed_wires, basis=basis,
-            basis_exp_sigma=basis_sig, g2_sigma=g2_sigmas[ci]))
+            basis_exp_sigma=basis_sig, g2_sigma=g2_sigmas[ci],
+            nb_public=cm.nb_public_committed))
 
     f2h = curve.host_g2_field
     pk = ProvingKey(
@@ -339,6 +374,7 @@ def setup(cs: ConstraintSystem, curve_name: str, rng=None):
         g1_alpha=g1_alpha, g2_beta=g2_beta, g2_gamma=g2_gamma,
         g2_delta=g2_delta,
         commitment_g2_sigma=[k.g2_sigma for k in commitment_keys],
+        commitment_pac=_pac_indices(cs, nb_pub),
     )
     return pk, vk
 
@@ -463,12 +499,14 @@ def prove(cs: ConstraintSystem, pk: ProvingKey, public, secret, rng=None,
         def _bsb22_override(qq, inputs):
             key = next(ck_iter)
             vals = [v % qq for v in inputs]
-            C = host.ec_msm(f1, key.basis, vals)
-            pok = host.ec_msm(f1, key.basis_exp_sigma, vals)
+            hashed = vals[:key.nb_public]    # public-and-commitment
+            priv = vals[key.nb_public:]      # Pedersen-committed
+            C = host.ec_msm(f1, key.basis, priv)
+            pok = host.ec_msm(f1, key.basis_exp_sigma, priv)
             commitments.append(C)
             poks.append(pok)
-            cm_vals.append(_hash_to_field(curve, C,
-                                          recursion_friendly))
+            cm_vals.append(_hash_to_field(curve, C, recursion_friendly,
+                                          public_committed=hashed))
             return [cm_vals[-1]]
 
         cm_vals: list = []
@@ -646,10 +684,15 @@ def verify(proof: Proof, vk: VerifyingKey, public_values,
             f"want {len(vk.g1_k) - 1 - nb_cm} public values, "
             f"got {len(public_values)}")
     f1 = curve.host_fp
-    # recompute commitment wire values and extend the public vector
-    extended = [v % q for v in public_values] + \
-        [_hash_to_field(curve, C, recursion_friendly)
-         for C in proof.commitments]
+    # recompute commitment wire values and extend the public vector;
+    # hashed public-committed values resolve against the growing
+    # extended vector (verify.go:85-103 solveCommitmentWire)
+    extended = [v % q for v in public_values]
+    pac = list(vk.commitment_pac or [()] * nb_cm)
+    for ci, C in enumerate(proof.commitments):
+        pac_vals = [extended[i - 1] for i in pac[ci]]
+        extended.append(_hash_to_field(curve, C, recursion_friendly,
+                                       public_committed=pac_vals))
     ksum = vk.g1_k[0]
     for v, pt in zip(extended, vk.g1_k[1:]):
         ksum = host.ec_add(f1, ksum, host.ec_mul(f1, pt, v % q))

@@ -98,6 +98,12 @@ class Commitment:
     committed_wires: tuple      # wires whose values get committed
     commitment_wire: int        # the wire holding the challenge value
     hint_name: str = ""
+    # Groth16: the first nb_public_committed entries of
+    # committed_wires are public (or prior-commitment) wires: they are
+    # HASHED into the commitment wire value but not Pedersen-committed
+    # (reference constraint/commitment.go NbPublicCommitted +
+    # PublicAndCommitmentCommitted)
+    nb_public_committed: int = 0
     # SCS/PLONK only: constraint row indexes of the COMMITTED rows
     # (one per committed wire; reference scs/api.go
     # AddPlonkCommitmentInputs) and of the COMMITMENT row

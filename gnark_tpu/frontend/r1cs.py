@@ -436,11 +436,21 @@ class R1CSBuilder:
                 o = self.cs.new_internal_wire()
                 self._add_r1c(lv, lc_const(self.q, 1), lc_single(o), o)
                 wires.append(o)
+        # public wires and prior commitment wires are hashed, not
+        # Pedersen-committed: sort them first (reference
+        # PublicAndCommitmentCommitted ordering, commitment.go:9-26)
+        prior_cm = {c.commitment_wire for c in self.cs.commitments}
+        pac = sorted(w for w in wires
+                     if w < self.cs.nb_public or w in prior_cm)
+        priv = sorted(w for w in wires
+                      if not (w < self.cs.nb_public or w in prior_cm))
+        wires = pac + priv
         cvar = self.new_hint("bsb22", 1,
                              *[Variable(lc_single(w)) for w in wires])[0]
         self.cs.commitments.append(Commitment(
             committed_wires=tuple(wires),
-            commitment_wire=cvar.e[0][1], hint_name="bsb22"))
+            commitment_wire=cvar.e[0][1], hint_name="bsb22",
+            nb_public_committed=len(pac)))
         return cvar
 
     # ------------------------------------------------------------------

@@ -409,15 +409,13 @@ def read_gnark_cs(data: bytes) -> ConstraintSystem:
         kind_name = TAG_TO_KIND.get(ci.tag, "")
         for cm in ci.value:
             if kind_name == "groth16_commitments":
-                if cm.get("NbPublicCommitted"):
-                    raise NotImplementedError(
-                        "gnark CS committing public wires not mapped")
                 pac = list(cm.get("PublicAndCommitmentCommitted") or [])
                 priv = list(cm.get("PrivateCommitted") or [])
                 rec = Commitment(
                     committed_wires=tuple(w + shift for w in pac + priv),
                     commitment_wire=cm["CommitmentIndex"] + shift,
-                    hint_name="bsb22")
+                    hint_name="bsb22",
+                    nb_public_committed=len(pac))
             elif kind_name == "plonk_commitments":
                 rows = list(cm.get("Committed") or [])
                 cm_row = cm["CommitmentIndex"]

@@ -267,9 +267,15 @@ def _commitments_cbor(cs: ConstraintSystem, shift: int):
         tag = KIND_TO_TAG["groth16_commitments"]
         val = [{
             "CommitmentIndex": cm.commitment_wire - shift,
-            "PrivateCommitted": [w - shift for w in cm.committed_wires],
-            "PublicAndCommitmentCommitted": None,
-            "NbPublicCommitted": 0,
+            "PrivateCommitted": [
+                w - shift for w in
+                cm.committed_wires[cm.nb_public_committed:]],
+            "PublicAndCommitmentCommitted": [
+                w - shift for w in
+                cm.committed_wires[:cm.nb_public_committed]] or None,
+            "NbPublicCommitted": sum(
+                1 for w in cm.committed_wires[:cm.nb_public_committed]
+                if w < cs.nb_public),
             "HintID": _fnv1a32(cm.hint_name or "bsb22"),
         } for cm in cs.commitments]
     else:
