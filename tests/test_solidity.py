@@ -254,7 +254,7 @@ def test_groth16_commitment_export_and_simulate():
     assert groth16.verify(proof, vk, pub, recursion_friendly="evm")
 
     src = solidity.export_groth16_verifier(vk)
-    assert "SIGMA_X1" in src and "sha256(abi.encodePacked" in src
+    assert "SIGMA0_X1" in src and "sha256(abi.encodePacked" in src
     assert "uint256[2] calldata cm" in src
 
     # --- simulate the contract host-side -----------------------------
