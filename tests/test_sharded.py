@@ -185,3 +185,39 @@ def test_groth16_prove_sharded(mesh8):
     assert p_sharded.ar == p_single.ar
     assert p_sharded.bs == p_single.bs
     assert p_sharded.krs == p_single.krs
+
+
+def test_groth16_prove_sharded_smoke():
+    """FAST-TIER guard on prove(mesh=): a 2-virtual-device mesh over a
+    2^6-constraint circuit, asserted bit-exact vs the single-device
+    prover under the same randomness (the round-4 verdict's Weak #7 —
+    the full 8-device version stays slow-tier above)."""
+    import random
+
+    from gnark_tpu import fields
+    from gnark_tpu.backend import groth16
+    from gnark_tpu.frontend import Circuit, Public, Secret, \
+        compile_circuit, witness
+
+    class _Chain(Circuit):
+        x: Secret
+        y: Public
+
+        def define(self, api):
+            v = self.x
+            for _ in range(60):
+                v = api.mul(v, self.x)
+            api.assert_is_equal(v, self.y)
+
+    F = fields.BN254_FR
+    cs = compile_circuit(_Chain(), F)
+    pk, vk = groth16.setup(cs, "bn254", rng=random.Random(5))
+    want = pow(3, 61, F.modulus)
+    pub, sec = witness(_Chain(x=3, y=want), cs)
+
+    mesh2 = Mesh(np.array(jax.devices()[:2]), ("pts",))
+    p1 = groth16.prove(cs, pk, pub, sec, rng=random.Random(9))
+    p2 = groth16.prove(cs, pk, pub, sec, rng=random.Random(9),
+                       mesh=mesh2)
+    assert p1.ar == p2.ar and p1.krs == p2.krs and p1.bs == p2.bs
+    assert groth16.verify(p2, vk, pub)
