@@ -173,10 +173,15 @@ def assert_proof_bn254(api, vk, proof_vars, publics):
     from gnark_tpu.std.algebra.sw_bn254 import G1EmulatedBN254
 
     assert vk.curve.name == "bn254", "emulated path expects bn254 inner"
-    assert not vk.commitment_g2_sigma, \
-        "commitment circuits need the pedersen leg (not wired yet)"
-    if len(publics) != len(vk.g1_k) - 1:
-        raise ValueError(f"want {len(vk.g1_k) - 1} inner publics")
+    nb_cm = len(vk.commitment_g2_sigma)
+    commitments = proof_vars.get("commitments", [])
+    poks = proof_vars.get("poks", [])
+    assert len(commitments) == nb_cm and len(poks) == nb_cm, \
+        "commitment circuits need the inner proof's BSB22 points " \
+        '(prove with recursion_friendly="self")'
+    if len(publics) != len(vk.g1_k) - 1 - nb_cm:
+        raise ValueError(
+            f"want {len(vk.g1_k) - 1 - nb_cm} inner publics")
 
     pr = PairingBN254(api)
     g1 = G1EmulatedBN254(api, pr.fe)
@@ -186,12 +191,48 @@ def assert_proof_bn254(api, vk, proof_vars, publics):
     pr.assert_on_g1(krs)
     pr.assert_on_g2_curve(bs)
     pr.assert_in_g2_subgroup(bs)
+    for P in list(commitments) + list(poks):
+        pr.assert_on_g1(P)
+
+    r_mod = vk.curve.fr.modulus
+    rbits_ = r_mod.bit_length()
+
+    # commitment wire values: the backend's recursion_friendly="self"
+    # hash — MiMC over the curve's OWN fr (the native field here) of
+    # the canonical coordinate limbs, truncated to rbits-8
+    # (backend/groth16._hash_to_field + transcript.mimc_point_writes)
+    hashed = []
+    if nb_cm:
+        from gnark_tpu.std.hash.mimc import MiMCGadget
+
+        def trunc(c):
+            pbits = api.field().bit_length()
+            bits = api.to_binary(c, pbits)
+            acc = 1
+            for i in range(len(bits) - 1, -1, -1):
+                if ((api.field() - 1) >> i) & 1:
+                    acc = api.mul(acc, bits[i])
+                else:
+                    api.assert_is_equal(api.mul(acc, bits[i]), 0)
+            return api.from_binary(bits[:rbits_ - 8])
+
+        for C in commitments:
+            h = MiMCGadget(api, "bn254_fr")
+            h.write(int.from_bytes(b"BSB22-Groth16", "big"))
+            cx = pr.fe.reduce_strict(C[0])
+            cy = pr.fe.reduce_strict(C[1])
+            for l in cx.limbs + cy.limbs:
+                h.write(l)
+            hashed.append(trunc(h.sum()))
 
     nbits = vk.curve.fr.bits
-    ksum = g1.msm_const_bases(vk.g1_k[1:], publics, nbits)
+    ksum = g1.msm_const_bases(vk.g1_k[1:], list(publics) + hashed,
+                              nbits)
     k0 = vk.g1_k[0]
     if k0 is not host.INF:
         ksum = g1.add_distinct(ksum, g1.from_const(k0))
+    for C in commitments:
+        ksum = g1.add_distinct(ksum, C)
 
     # constant pair folds to one host Miller value (bit-exact with the
     # circuit loop: tests/test_pairing_bn254_circuit.py pins that)
@@ -200,31 +241,60 @@ def assert_proof_bn254(api, vk, proof_vars, publics):
     neg_alpha = (vk.g1_alpha[0], (-vk.g1_alpha[1]) % p)
     ml_const = ate.miller_loop(neg_alpha, vk.g2_beta)
 
-    f = pr.miller_loop([
+    pairs = [
         (ar, bs),
         (ksum, FixedG2(vk.g2_gamma_neg)),
         (krs, FixedG2(vk.g2_delta_neg)),
-    ])
+    ]
+    if nb_cm:
+        # fold each Pedersen PoK equation e(-pok,g2)*e(C,sigma) == 1
+        # into the product with an unpredictable rho (random linear
+        # combination — the 2-chain path's scheme, above)
+        from gnark_tpu.std.hash.mimc import MiMCGadget
+        rh = MiMCGadget(api, "bn254_fr")
+        rh.write(int.from_bytes(b"groth16-pok-fold", "big"))
+        for P in [ar, krs] + list(commitments) + list(poks):
+            for c in (P[0], P[1]):
+                cc = pr.fe.reduce_strict(c)
+                for l in cc.limbs:
+                    rh.write(l)
+        rho = trunc(rh.sum())
+        for C, pok, sig in zip(commitments, poks,
+                               vk.commitment_g2_sigma):
+            rc = g1.scalar_mul_var_base(C, rho, rbits_ - 8)
+            rpok = g1.scalar_mul_var_base(pok, rho, rbits_ - 8)
+            pairs.append((g1.neg(rpok), FixedG2(tuple(vk.curve.g2))))
+            pairs.append((rc, FixedG2(sig)))
+
+    f = pr.miller_loop(pairs)
     f = pr.f12.mul(f, pr.f12.from_const(ml_const))
     f = pr.final_exponentiation(f)
     pr.f12.assert_one(f)
 
 
-def load_proof_bn254(fe, limb_vars):
-    """Assemble proof Elements from 8*K+... flat limb variables in the
-    order [ar.x, ar.y, krs.x, krs.y, bs.x0, bs.x1, bs.y0, bs.y1]."""
+def load_proof_bn254(fe, limb_vars, nb_commitments: int = 0):
+    """Assemble proof Elements from flat limb variables in the order
+    [ar.x, ar.y, krs.x, krs.y, bs.x0, bs.x1, bs.y0, bs.y1,
+     C_i.x, C_i.y ..., pok_i.x, pok_i.y ...]."""
     from gnark_tpu.std.algebra.pairing_bn254 import G2Point
     from gnark_tpu.std.math import emulated as emu
     k = emu.K
+    n_el = 8 + 4 * nb_commitments
     els = [fe.from_limb_vars(limb_vars[k * i:k * (i + 1)])
-           for i in range(8)]
+           for i in range(n_el)]
+    cms = [(els[8 + 2 * i], els[9 + 2 * i])
+           for i in range(nb_commitments)]
+    off = 8 + 2 * nb_commitments
+    pks = [(els[off + 2 * i], els[off + 2 * i + 1])
+           for i in range(nb_commitments)]
     return dict(ar=(els[0], els[1]), krs=(els[2], els[3]),
-                bs=G2Point((els[4], els[5]), (els[6], els[7])))
+                bs=G2Point((els[4], els[5]), (els[6], els[7])),
+                commitments=cms, poks=pks)
 
 
 def proof_witness_bn254(proof):
     """Flatten a bn254 backend proof into limb assignments for
-    load_proof_bn254's flat layout."""
+    load_proof_bn254's flat layout (incl. commitments + poks)."""
     from gnark_tpu.std.math import emulated as emu
 
     def limbs(v):
@@ -235,4 +305,6 @@ def proof_witness_bn254(proof):
     out = []
     for v in (arx, ary, krx, kry, bx0, bx1, by0, by1):
         out += limbs(v)
+    for C in list(proof.commitments) + list(proof.poks):
+        out += limbs(C[0]) + limbs(C[1])
     return out

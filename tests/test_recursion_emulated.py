@@ -163,3 +163,55 @@ def test_in_circuit_groth16_verify_emulated(inner_proof_bn254):
     bad2 = _Outer(inner_y=35)
     bad2.proof_limbs = w2
     assert not is_solved(bad2, F)
+
+
+# -- Groth16 emulated, COMMITMENT circuits (round-5: the pedersen leg) -------
+
+class _InnerCommit(Circuit):
+    x: Secret
+    y: Public
+
+    def define(self, api):
+        c = api.commit(self.x)
+        api.assert_is_different(c, 0)
+        api.assert_is_equal(api.mul(self.x, self.x), self.y)
+
+
+class _OuterCommit(Circuit):
+    proof_limbs: list[Secret]
+    inner_y: Public
+
+    ivk = None
+
+    def __init__(self, **kw):
+        self.proof_limbs = [None] * ((8 + 4) * emu.K)
+        super().__init__(**kw)
+
+    def define(self, api):
+        from gnark_tpu.std.math import emulated as _e
+        fe = _e.EmulatedField(api, _e.BN254_FP_EMU)
+        pv = load_proof_bn254(fe, self.proof_limbs, nb_commitments=1)
+        assert_proof_bn254(api, type(self).ivk, pv, [self.inner_y])
+
+
+@pytest.mark.slow
+def test_in_circuit_groth16_verify_emulated_commitment():
+    ics = compile_circuit(_InnerCommit(), fields.BN254_FR)
+    ipk, ivk = groth16.setup(ics, "bn254", rng=random.Random(31))
+    pub, sec = witness(_InnerCommit(x=6, y=36), ics)
+    proof = groth16.prove(ics, ipk, pub, sec, rng=random.Random(32),
+                          recursion_friendly="self")
+    assert groth16.verify(proof, ivk, pub, recursion_friendly="self")
+    assert len(proof.commitments) == 1 and len(proof.poks) == 1
+
+    _OuterCommit.ivk = ivk
+    w = proof_witness_bn254(proof)
+    good = _OuterCommit(inner_y=36)
+    good.proof_limbs = w
+    assert is_solved(good, F)
+    # tampered commitment point -> the PoK / hash chain must fail
+    w2 = list(w)
+    w2[8 * emu.K] = (w2[8 * emu.K] + 1) % (1 << emu.B)
+    bad = _OuterCommit(inner_y=36)
+    bad.proof_limbs = w2
+    assert not is_solved(bad, F)
