@@ -143,12 +143,20 @@ def _secondary_msm20():
 
 
 def _secondary_msm22():
-    """BASELINE.json's headline size: BN254 G1 MSM at 2^22."""
+    """BASELINE.json's headline size: BN254 G1 MSM at 2^22.
+
+    vs_baseline divides by 4e6 pts/s — a MULTI-CORE server running
+    gnark-crypto MultiExp at 2^22 plausibly does 4-8M pts/s (round-4
+    verdict Weak #2; no in-repo number exists and no Go toolchain is
+    in-image to measure one), so this is a per-chip vs whole-CPU-box
+    comparison. sol_frac (vs the measured 707M field-muls/s anchor at
+    c=16 windowing) is the honest hardware-efficiency number."""
     pps = _msm_points_per_sec(1 << 22)
     print(json.dumps({
         "metric": "bn254_g1_msm_2^22_points_per_sec",
         "value": round(pps, 1), "unit": "points/s",
-        "vs_baseline": round(pps / 1e6, 4),
+        "vs_baseline": round(pps / 4e6, 4),
+        "baseline_note": "4e6 pts/s multi-core gnark-crypto estimate",
         "sol_frac": round(pps / MSM_SOL_PPS, 4)}), flush=True)
 
 
@@ -262,17 +270,18 @@ def _synth_square_chain(n_chains: int, chain_len: int):
     return cs
 
 
-def _secondary_g16():
-    """End-to-end Groth16 prove wall time at 2^18 constraints
+def _g16_at(log2n: int, baseline_s: float):
+    """End-to-end Groth16 prove wall time at 2^log2n constraints
     (solve + computeH NTTs + 5 MSMs; dummy keys — MSM/NTT cost is
-    value-independent, reference groth16.DummySetup)."""
+    value-independent, reference groth16.DummySetup). The baseline is
+    a docs-scale gnark-CPU estimate (no in-repo number exists)."""
     import random
     _setup_jax()
     from gnark_tpu.backend import groth16
 
-    n_chains, chain_len = 512, 512          # 2^18 constraints
+    n_chains = 1 << max(log2n - 9, 9)
+    chain_len = (1 << log2n) // n_chains
     cs = _synth_square_chain(n_chains, chain_len)
-    q = cs.q
     pk = groth16.dummy_setup(cs, "bn254")
     secrets_in = [i + 2 for i in range(n_chains)]
     # warm (compiles)
@@ -282,20 +291,26 @@ def _secondary_g16():
         t0 = time.perf_counter()
         groth16.prove(cs, pk, [], secrets_in, rng=random.Random(7 + i))
         best = min(best, time.perf_counter() - t0)
-    nc = cs.nb_constraints
     print(json.dumps({
-        "metric": f"groth16_prove_2^18_ms",
+        "metric": f"groth16_prove_2^{log2n}_ms",
         "value": round(best * 1e3, 1), "unit": "ms",
-        # gnark CPU proves ~2^18 in roughly 1-2s on a big server
-        # (no in-repo number; docs-scale estimate) -> vs 1.5s
-        "vs_baseline": round(1.5 / best, 4),
+        "vs_baseline": round(baseline_s / best, 4),
+        "baseline_note": f"{baseline_s}s gnark-CPU docs-scale estimate",
     }), flush=True)
 
 
+def _secondary_g16():
+    _g16_at(18, 1.5)
+
+
+def _secondary_g16_20():
+    _g16_at(20, 5.0)
+
+
 def _secondary_plonk18():
-    """End-to-end PLONK prove at 2^15 gates on the device pipeline
-    (the 2^17 stage-graph compile exceeds any budget over the axon
-    tunnel; on directly attached hardware bump chain_len back up)."""
+    """End-to-end PLONK prove at 2^17 gates on the device pipeline
+    (stage compiles are cacheable across processes now that the
+    persistent-cache keys are stable — utils/cachekey.py)."""
     import random
     _setup_jax()
     from gnark_tpu import fields
@@ -305,7 +320,7 @@ def _secondary_plonk18():
     F = fields.BN254_FR
     q = F.modulus
     cs = ConstraintSystem(F, "scs")
-    n_chains, chain_len = 512, 64            # 2^15 gates
+    n_chains, chain_len = 1024, 128          # 2^17 gates
     cs.secret_names = [f"x{i}" for i in range(n_chains)]
     for c in range(n_chains):
         w = 1 + c
@@ -317,7 +332,7 @@ def _secondary_plonk18():
                 Instruction(kind="scs", cidx=len(cs.sparse) - 1,
                             outputs=(o,)), [w])
             w = o
-    srs_n = 1 << 16
+    srs_n = 1 << 18
     srs = kzg.setup_srs("bn254", srs_n + 8, rng=random.Random(3),
                         with_host=False)
     pk, vk = plonk.setup(cs, srs)
@@ -329,19 +344,21 @@ def _secondary_plonk18():
         plonk.prove(cs, pk, [], secrets_in, rng=random.Random(5 + i))
         best = min(best, time.perf_counter() - t0)
     print(json.dumps({
-        "metric": "plonk_prove_2^15_ms",
+        "metric": "plonk_prove_2^17_ms",
         "value": round(best * 1e3, 1), "unit": "ms",
-        # gnark CPU proves ~2^15 gates in roughly 0.6s (docs-scale
+        # gnark CPU proves ~2^17 gates in roughly 2s (docs-scale
         # estimate; no in-repo number)
-        "vs_baseline": round(0.6 / best, 4),
+        "vs_baseline": round(2.0 / best, 4),
+        "baseline_note": "2s gnark-CPU docs-scale estimate",
     }), flush=True)
 
 
 def _secondary_rollup():
-    """BASELINE config #4 first rung: the EdDSA+Merkle rollup at
-    >=2^16 constraints, proven with dummy keys on device."""
-    os.environ["ROLLUP_DEPTH"] = "8"
-    os.environ["ROLLUP_TXS"] = "3"
+    """BASELINE config #4: the EdDSA+Merkle rollup at ~1M constraints
+    (depth-16 tree, 16 transfers), proven with dummy keys on device
+    (round-4 verdict item #3: the ~1M-constraint BASELINE config)."""
+    os.environ["ROLLUP_DEPTH"] = "16"
+    os.environ["ROLLUP_TXS"] = "16"
     _setup_jax()
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -354,7 +371,8 @@ def _secondary_rollup():
     print(json.dumps({
         "metric": f"groth16_prove_rollup_{nc}c_ms",
         "value": round(dt * 1e3, 1), "unit": "ms",
-        "vs_baseline": round(1.0 / dt, 4),   # ~1s gnark-CPU ballpark
+        "vs_baseline": round(5.0 / dt, 4),
+        "baseline_note": "5s gnark-CPU docs-scale estimate at ~1M",
     }), flush=True)
 
 
@@ -363,10 +381,11 @@ def _secondary_rollup():
 SECONDARIES = {
     "msm20": (_secondary_msm20, 180),
     "msm22": (_secondary_msm22, 300),
-    "ntt20": (_secondary_ntt20, 180),
-    "g16": (_secondary_g16, 420),
-    "plonk18": (_secondary_plonk18, 800),
-    "rollup": (_secondary_rollup, 600),
+    "ntt20": (_secondary_ntt20, 240),
+    "g16": (_secondary_g16, 700),
+    "g16_20": (_secondary_g16_20, 800),
+    "plonk18": (_secondary_plonk18, 900),
+    "rollup": (_secondary_rollup, 800),
     "ntt24": (_secondary_ntt24, 420),
 }
 
@@ -416,8 +435,8 @@ def main():
     # The headline is re-printed after EVERY secondary so the LAST
     # JSON line is always the headline even if the driver's outer
     # timeout kills the bench mid-secondary.
-    for name in ("msm22", "ntt20", "g16", "ntt24", "rollup",
-                 "plonk18", "msm20"):
+    for name in ("ntt20", "msm22", "ntt24", "g16", "g16_20",
+                 "rollup", "plonk18", "msm20"):
         if _left() > 60:
             _run_secondary(name)
             print(headline, flush=True)
