@@ -260,7 +260,18 @@ def _accumulate_kernel(f: TFF, W: int, G: int, L: int, T: int):
             new = _proj_madd_t(fb, cur, xb, yb, b3c)
             neww = jnp.stack([_pack_rows(a, L) for a in new], axis=0)
 
-            bk[:] = jnp.where(mask[None, None], neww[:, :, None, :], allb)
+            if os.environ.get("GNARK_TPU_MSM_WB") == "maskstore":
+                # predicated store: skips the select's second read
+                # pass over the bucket state (experimental)
+                pltpu.store(
+                    bk,
+                    jnp.broadcast_to(neww[:, :, None, :],
+                                     (3, Lp, B, T)),
+                    mask=jnp.broadcast_to(mask[None, None],
+                                          (3, Lp, B, T)))
+            else:
+                bk[:] = jnp.where(mask[None, None], neww[:, :, None, :],
+                                  allb)
 
         # NOTE: the state holds <= 2p representatives; the epilogue's
         # projective kernels accept those (their formulas run in the
