@@ -750,10 +750,19 @@ def dummy_setup(cs: ConstraintSystem, curve_name: str):
     ff2 = _g2_field(curve)
     g = curve.g1
     g2pt = curve.g2
-    enc = _encode_affine_host(ffp, [g] * nb_wires)
-    enc2 = _encode_affine_host(ff2, [g2pt] * nb_wires)
-    encz = _encode_affine_host(ffp, [g] * N)
-    enck = _encode_affine_host(ffp, [g] * max(nb_wires - nb_pub, 1))
+
+    def _tiled(ff, pt, n):
+        # encode ONE point, tile on host — a per-element python encode
+        # of 2^20 identical rows costs ~a minute, np.tile is free
+        one = _encode_affine_host(ff, [pt])
+        return tuple(
+            jnp.asarray(np.tile(np.asarray(a), (n,) + (1,) * (a.ndim - 1)))
+            for a in one)
+
+    enc = _tiled(ffp, g, nb_wires)
+    enc2 = _tiled(ff2, g2pt, nb_wires)
+    encz = _tiled(ffp, g, N)
+    enck = _tiled(ffp, g, max(nb_wires - nb_pub, 1))
     return ProvingKey(
         curve=curve, domain_n=N,
         g1_a=enc, g1_b=enc, g1_z=encz, g1_k=enck, g2_b=enc2,
