@@ -42,6 +42,15 @@ SECP256K1 = SWParams(
     beta=0x7AE96A2B657C07106E64479EAC3434E99CF0497512F58995C1396C28719501EE,
 )
 
+BN254_SW = SWParams(
+    name="bn254",
+    fp=emu.BN254_FP_EMU, fr=emu.BN254_FR_EMU, a=0, b=3,
+    gx=1, gy=2,
+    # 2-cycle mirror of grumpkin's pair (lam mod r, beta mod p)
+    lam=0xB3C4D79D41A917585BFC41088D8DAAA78B17EA66B99C90DD,
+    beta=0x59E26BCEA0D48BACD4F263F1ACDB5C4F5763473177FFFFFE,
+)
+
 P256_FR = emu.EmuParams(
     "p256_fr",
     0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551)

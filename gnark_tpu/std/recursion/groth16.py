@@ -259,10 +259,21 @@ def assert_proof_bn254(api, vk, proof_vars, publics):
                 for l in cc.limbs:
                     rh.write(l)
         rho = trunc(rh.sum())
+        # rho as 64-bit limb vars for the GLV ladder (~3x cheaper
+        # than the plain 246-bit ladder)
+        from gnark_tpu.std.algebra.sw_emulated import (BN254_SW,
+                                                       EmulatedCurve)
+        from gnark_tpu.std.math import emulated as _emu
+        rho_bits = api.to_binary(rho, rbits_ - 8)
+        rho_limbs = []
+        for j in range(_emu.K):
+            seg = rho_bits[64 * j:64 * (j + 1)]
+            rho_limbs.append(api.from_binary(seg) if seg else 0)
+        cur = EmulatedCurve(api, BN254_SW)
         for C, pok, sig in zip(commitments, poks,
                                vk.commitment_g2_sigma):
-            rc = g1.scalar_mul_var_base(C, rho, rbits_ - 8)
-            rpok = g1.scalar_mul_var_base(pok, rho, rbits_ - 8)
+            rc = cur.scalar_mul_glv(C, rho_limbs)
+            rpok = cur.scalar_mul_glv(pok, rho_limbs)
             pairs.append((g1.neg(rpok), FixedG2(tuple(vk.curve.g2))))
             pairs.append((rc, FixedG2(sig)))
 

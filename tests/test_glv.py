@@ -133,3 +133,39 @@ def test_glv_split_host():
         assert (k1 + k2 * swe.SECP256K1.lam - k) % N == 0
         assert abs(k1).bit_length() <= 129
         assert abs(k2).bit_length() <= 129
+
+
+def test_glv_bn254_emulated():
+    """GLV on the emulated BN254 G1 (the 2-cycle mirror constants) —
+    used by the recursion PoK fold."""
+    from gnark_tpu.ec import curves, host as ec_host
+
+    C = curves.CURVES["bn254"]
+    f1 = C.host_fp
+    n = C.fr.modulus
+
+    class Ct(Circuit):
+        s: list[Secret]
+        rx: list[Public]
+        ry: list[Public]
+
+        def __init__(self, **kw):
+            for f in ("s", "rx", "ry"):
+                setattr(self, f, [None] * emu.K)
+            super().__init__(**kw)
+
+        def define(self, api):
+            cur = swe.EmulatedCurve(api, swe.BN254_SW)
+            fe = cur.f
+            r = cur.scalar_mul_glv(cur.generator(), self.s)
+            fe.assert_is_equal(r[0], fe.from_limb_vars(self.rx))
+            fe.assert_is_equal(r[1], fe.from_limb_vars(self.ry))
+
+    cs = compile_circuit(Ct(), fields.BN254_FR)
+    rng = random.Random(9)
+    for k in (rng.randrange(1, n), 0, n - 1):
+        r = ec_host.ec_mul(f1, C.g1, k % n)
+        r = (0, 0) if r is ec_host.INF else r
+        inst = Ct(s=_limbs(k), rx=_limbs(r[0]), ry=_limbs(r[1]))
+        pub, sec = witness(inst, cs)
+        solve(cs, pub, sec)
