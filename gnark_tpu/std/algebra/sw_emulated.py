@@ -425,6 +425,19 @@ class EmulatedCurve:
         return (f.select(bits[0], acc[0], cor[0]),
                 f.select(bits[0], acc[1], cor[1]))
 
+    def scalar_mul_from_bits(self, P, bits):
+        """[k]P from LSB-first scalar bits: GLV (limbs rebuilt from
+        the bits, linear) when the curve has an endomorphism, else
+        the signed ladder."""
+        if not self.params.lam:
+            return self.scalar_mul_bits(P, bits)
+        api = self.api
+        limbs = []
+        for j in range(emu.K):
+            seg = bits[emu.B * j:emu.B * (j + 1)]
+            limbs.append(api.from_binary(seg) if seg else 0)
+        return self.scalar_mul_glv(P, limbs)
+
     def scalar_mul(self, P, s_limbs, nbits: int = 256):
         """[s]P from k scalar limb variables: GLV when the curve has
         an endomorphism, otherwise the plain signed ladder over the

@@ -29,6 +29,8 @@ BN254_G1 = sw.SWParams(
         "bn254_fr",
         21888242871839275222246405745257275088548364400416034343698204186575808495617),
     a=0, b=3, gx=1, gy=2,
+    lam=0xB3C4D79D41A917585BFC41088D8DAAA78B17EA66B99C90DD,
+    beta=0x59E26BCEA0D48BACD4F263F1ACDB5C4F5763473177FFFFFE,
 )
 
 
@@ -57,7 +59,7 @@ def ecmul(api, p, scalar_bits):
     scalar >= 1)."""
     curve = sw.EmulatedCurve(api, BN254_G1)
     curve.assert_on_curve(p)
-    return curve.scalar_mul_bits(p, scalar_bits)
+    return curve.scalar_mul_from_bits(p, scalar_bits)
 
 
 @register_hint("ecrecover_pub")
@@ -192,6 +194,8 @@ BLS381_G1 = sw.SWParams(
     a=0, b=4,
     gx=0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
     gy=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+    lam=0xAC45A4010001A40200000000FFFFFFFF,
+    beta=0x1A0111EA397FE699EC02408663D4DE85AA0D857D89759AD4897D29650FB85F9B409427EB4F49FFFD8BFD00000000AAAC,
 )
 
 
@@ -209,7 +213,7 @@ def bls_g1msm(api, points, scalar_bits_list):
     acc = None
     for p, bits in zip(points, scalar_bits_list):
         curve.assert_on_curve(p)
-        term = curve.scalar_mul_bits(p, bits)
+        term = curve.scalar_mul_from_bits(p, bits)
         acc = term if acc is None else curve.add_distinct(acc, term)
     return acc
 
@@ -265,8 +269,8 @@ def kzg_point_eval(api, commitment, proof_w, z_limbs, y_limbs,
 
     g1_gen = (curve.f.from_const(BLS381_G1.gx),
               curve.f.from_const(BLS381_G1.gy))
-    yg = curve.scalar_mul_bits(g1_gen, ebits(y))
-    zw = curve.scalar_mul_bits(proof_w, ebits(z))
+    yg = curve.scalar_mul_from_bits(g1_gen, ebits(y))
+    zw = curve.scalar_mul_from_bits(proof_w, ebits(z))
     a = curve.add_distinct(commitment,
                            (yg[0], curve.f.neg(yg[1])))
     a = curve.add_distinct(a, zw)
