@@ -199,6 +199,29 @@ BLS381_G1 = sw.SWParams(
 )
 
 
+BLS_SEED = 0xD201000000010000        # |z| (the BLS12-381 seed is -z)
+
+
+def bls_g1_assert_subgroup(api, curve, P):
+    """EIP-2537 G1 subgroup check: P == -[z^2]phi(P) (the reference's
+    AssertIsOnG1, sw_bls12381/g1.go:236-248 — sound because
+    r | z^4 - z^2 + 1, so [z^2]phi acts as -1 exactly on the r-torsion
+    component). Constant-scalar double-and-add over z^2's bits."""
+    f = curve.f
+    phi = (f.sum_of_products(
+        [(1, f.from_const(BLS381_G1.beta), P[0])]), P[1])
+    zz = BLS_SEED * BLS_SEED
+    bits = bin(zz)[2:]
+    acc = phi
+    for b in bits[1:]:
+        acc = curve.double(acc)
+        if b == "1":
+            acc = curve.add_distinct(acc, phi)
+    # acc = [z^2]phi(P) must equal -P
+    f.assert_is_equal(acc[0], P[0])
+    f.assert_is_equal(acc[1], f.neg_nr(P[1]))
+
+
 def bls_g1add(api, p1, p2):
     """0x0b: BLS12-381 G1 add (distinct points)."""
     curve = sw.EmulatedCurve(api, BLS381_G1)
@@ -213,6 +236,7 @@ def bls_g1msm(api, points, scalar_bits_list):
     acc = None
     for p, bits in zip(points, scalar_bits_list):
         curve.assert_on_curve(p)
+        bls_g1_assert_subgroup(api, curve, p)
         term = curve.scalar_mul_from_bits(p, bits)
         acc = term if acc is None else curve.add_distinct(acc, term)
     return acc

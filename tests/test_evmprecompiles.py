@@ -476,3 +476,55 @@ def test_add_unified_edge_cases():
         inst.ins = limbs(ax) + limbs(ay) + limbs(bx) + limbs(by)
         inst.rx, inst.ry = limbs(wx), limbs(wy)
         assert is_solved(inst, F), (A, Bp)
+
+
+def test_bls_g1_subgroup_check():
+    """EIP-2537: MSM inputs must be r-torsion (reference
+    sw_bls12381.AssertIsOnG1); a cofactor-component point must be
+    rejected, the generator accepted."""
+    import random as _r
+
+    from gnark_tpu.constraint import solve as _solve
+    from gnark_tpu.ec import curves as _curves, host as _host
+    from gnark_tpu.std.algebra import sw_emulated as _sw
+
+    C = _curves.CURVES["bls12_381"]
+    p, r = C.fp.modulus, C.fr.modulus
+    f1 = C.host_fp
+    k = evm.BLS381_G1.fp.k
+
+    def limbs(v):
+        return [(v >> (emu.B * i)) & emu.MASK for i in range(k)]
+
+    rng = _r.Random(1)
+    while True:
+        x = rng.randrange(p)
+        y = pow((x ** 3 + 4) % p, (p + 1) // 4, p)
+        if y * y % p == (x ** 3 + 4) % p:
+            P = (x, y)
+            if _host.ec_mul(f1, P, r) is not _host.INF:
+                break
+
+    class Chk(Circuit):
+        px: list[Secret]
+        py: list[Secret]
+
+        def __init__(self, **kw):
+            self.px = [None] * k
+            self.py = [None] * k
+            super().__init__(**kw)
+
+        def define(self, api):
+            cur = _sw.EmulatedCurve(api, evm.BLS381_G1)
+            fe = cur.f
+            pt = (fe.from_limb_vars(self.px), fe.from_limb_vars(self.py))
+            cur.assert_on_curve(pt)
+            evm.bls_g1_assert_subgroup(api, cur, pt)
+
+    cs = compile_circuit(Chk(), F)
+    g = C.g1
+    pub, sec = witness(Chk(px=limbs(g[0]), py=limbs(g[1])), cs)
+    _solve(cs, pub, sec)
+    pub, sec = witness(Chk(px=limbs(P[0]), py=limbs(P[1])), cs)
+    with pytest.raises(Exception):
+        _solve(cs, pub, sec)
