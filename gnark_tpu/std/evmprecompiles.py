@@ -281,6 +281,10 @@ def kzg_point_eval(api, commitment, proof_w, z_limbs, y_limbs,
 
     curve.assert_on_curve(commitment)
     curve.assert_on_curve(proof_w)
+    # EIP-4844 requires subgroup membership of both points (reference
+    # 10-kzg_point_evaluation.go:613)
+    bls_g1_assert_subgroup(api, curve, commitment)
+    bls_g1_assert_subgroup(api, curve, proof_w)
 
     def ebits(e):
         bits = []
