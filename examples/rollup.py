@@ -29,40 +29,88 @@ Q = fields.BN254_FR.modulus
 # -- host-side state ----------------------------------------------------------
 
 class Account:
+    """Keys are derived LAZILY: at depth 16 the batch has 65k
+    accounts but only the transfer participants ever sign."""
+
     def __init__(self, seed: bytes, balance: int):
-        self.key, self.pub = eddsa.keygen(seed)
+        self._seed = seed
+        self._kp = None
         self.balance = balance
         self.nonce = 0
+
+    def ensure_key(self):
+        """Derive the real keypair (participants must call this
+        BEFORE the tree is built so their leaf commits to the real
+        public key)."""
+        if self._kp is None:
+            self._kp = eddsa.keygen(self._seed)
+
+    @property
+    def key(self):
+        self.ensure_key()
+        return self._kp[0]
+
+    @property
+    def pub(self):
+        if self._kp is None:
+            # non-participants appear only as sibling hashes: a cheap
+            # deterministic surrogate stands in for the (expensive)
+            # real public key — ~7ms/keygen x 65k accounts otherwise
+            sd = int.from_bytes(self._seed, "big")
+            return (mimc_hash([sd, 1]), mimc_hash([sd, 2]))
+        return self._kp[1]
 
     def leaf(self) -> int:
         return mimc_hash([self.pub[0], self.pub[1],
                           self.balance, self.nonce])
 
 
+class MerkleTree:
+    """Incremental tree: O(n) build once, O(depth) path/update (the
+    per-transfer full rebuilds made a depth-16 batch take ~20 min)."""
+
+    def __init__(self, leaves):
+        self.levels = [list(leaves)]
+        cur = self.levels[0]
+        while len(cur) > 1:
+            cur = [mimc_hash([cur[i], cur[i + 1]])
+                   for i in range(0, len(cur), 2)]
+            self.levels.append(cur)
+
+    @property
+    def root(self):
+        return self.levels[-1][0]
+
+    def path(self, idx):
+        sibs, dirs = [], []
+        i = idx
+        for lvl in self.levels[:-1]:
+            if i % 2 == 0:
+                sibs.append(lvl[i + 1])
+                dirs.append(0)
+            else:
+                sibs.append(lvl[i - 1])
+                dirs.append(1)
+            i //= 2
+        return sibs, dirs
+
+    def update(self, idx, leaf):
+        i = idx
+        self.levels[0][i] = leaf
+        for d in range(len(self.levels) - 1):
+            lvl = self.levels[d]
+            j = i - (i % 2)
+            self.levels[d + 1][i // 2] = mimc_hash([lvl[j], lvl[j + 1]])
+            i //= 2
+
+
 def tree_root(leaves):
-    level = list(leaves)
-    while len(level) > 1:
-        level = [mimc_hash([level[i], level[i + 1]])
-                 for i in range(0, len(level), 2)]
-    return level[0]
+    return MerkleTree(leaves).root
 
 
 def tree_path(leaves, idx):
     """(siblings, dirs): dirs[d] = 1 if the node is the RIGHT child."""
-    sibs, dirs = [], []
-    level = list(leaves)
-    i = idx
-    while len(level) > 1:
-        if i % 2 == 0:
-            sibs.append(level[i + 1])
-            dirs.append(0)
-        else:
-            sibs.append(level[i - 1])
-            dirs.append(1)
-        level = [mimc_hash([level[j], level[j + 1]])
-                 for j in range(0, len(level), 2)]
-        i //= 2
-    return sibs, dirs
+    return MerkleTree(leaves).path(idx)
 
 
 # -- the circuit ---------------------------------------------------------------
@@ -152,26 +200,29 @@ def build_batch(accounts, transfers):
     """transfers: list of (from_idx, to_idx, amount). Returns
     (old_root, new_root, flat tx witness)."""
     flat = []
-    leaves = [a.leaf() for a in accounts]
-    old_root = tree_root(leaves)
+    for (fi, ti, _amt) in transfers:
+        accounts[fi].ensure_key()
+        accounts[ti].ensure_key()
+    tree = MerkleTree([a.leaf() for a in accounts])
+    old_root = tree.root
     for (fi, ti, amount) in transfers:
         snd, rcv = accounts[fi], accounts[ti]
         msg = mimc_hash([rcv.pub[0], rcv.pub[1], amount, snd.nonce])
         sig_r, sig_s = eddsa.sign(snd.key, snd.pub, msg)
 
-        spath, sdirs = tree_path(leaves, fi)
+        spath, sdirs = tree.path(fi)
         flat += [snd.pub[0], snd.pub[1], snd.balance, snd.nonce,
                  rcv.pub[0], rcv.pub[1], rcv.balance, rcv.nonce,
                  amount, sig_r[0], sig_r[1], sig_s]
         # apply sender update
         snd.balance -= amount
         snd.nonce += 1
-        leaves[fi] = snd.leaf()
-        rpath, rdirs = tree_path(leaves, ti)
+        tree.update(fi, snd.leaf())
+        rpath, rdirs = tree.path(ti)
         rcv.balance += amount
-        leaves[ti] = rcv.leaf()
+        tree.update(ti, rcv.leaf())
         flat += spath + sdirs + rpath + rdirs
-    return old_root, tree_root(leaves), flat
+    return old_root, tree.root, flat
 
 
 def main(prove: bool = False, dummy: bool = False):
