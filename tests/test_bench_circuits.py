@@ -29,3 +29,28 @@ def test_square_chain_levels_are_wide():
     # 4 levels of 16 parallel instructions each
     assert len(cs.levels) == 4
     assert all(len(lv) == 16 for lv in cs.levels)
+
+
+def test_rollup_incremental_merkle():
+    """examples/rollup.MerkleTree must agree with the naive rebuild
+    (guards the 1M-constraint bench secondary's host-side batch)."""
+    import importlib.util
+    import os
+
+    os.environ["ROLLUP_DEPTH"] = "3"
+    os.environ["ROLLUP_TXS"] = "2"
+    spec = importlib.util.spec_from_file_location(
+        "rollup_mod", os.path.join(os.path.dirname(__file__),
+                                   "..", "examples", "rollup.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    leaves = [i * 7 + 1 for i in range(8)]
+    t = mod.MerkleTree(leaves)
+    assert t.root == mod.tree_root(list(leaves))
+    for idx in (0, 3, 7):
+        assert t.path(idx) == mod.tree_path(list(leaves), idx)
+    t.update(5, 999)
+    leaves[5] = 999
+    assert t.root == mod.tree_root(leaves)
+    assert t.path(2) == mod.tree_path(leaves, 2)
