@@ -247,13 +247,13 @@ class EmulatedCurve:
 
     def triple(self, P):
         """[3]P: tangent first (double_and_add's chord would be 0/0 at
-        P == Q), then the shared-x2 chord (reference point.go:423-461).
-        Assumes a = 0 curves on this path (the GLV curves)."""
+        P == Q), then the shared-x2 chord (reference point.go:423-461)."""
         f = self.f
         x, y = P
-        assert not self.params.a, "triple: a != 0 unsupported"
-        xx = f.sum_of_products([(1, x, x)])
-        lam1 = f.div_unchecked(f.mul_const_nr(xx, 3), f.add_nr(y, y))
+        num = f.sum_of_products([(3, x, x)])
+        if self.params.a:
+            num = f.add_nr(num, f.from_const(self.params.a))
+        lam1 = f.div_unchecked(num, f.add_nr(y, y))
         x2 = f.sum_of_products([(1, lam1, lam1)], lins=[(-2, x)])
         t = f.div_unchecked(f.add_nr(y, y), f.sub_nr(x2, x))
         lam2 = f.neg_nr(f.add_nr(lam1, t))
@@ -407,19 +407,42 @@ class EmulatedCurve:
 
     def scalar_mul_bits(self, P, bits):
         """[k]P for k given as LSB-first circuit booleans; P not the
-        identity. Signed-digit ladder: with c = k >> 1 (bits[1:]) the
-        loop computes [2c+1]P — every step is double + add of ±P
-        (accumulator coefficient even vs odd addend: no exceptional
-        equalities as integer identities) — then P is subtracted when
-        k was even. ~2.6x cheaper than the select-based double-and-add
-        it replaces (1300 vs 3400 constraints per bit)."""
+        identity. Merged-pair signed-digit ladder: with c = k >> 1
+        (bits[1:]) the loop computes [2c+1]P processing TWO digit bits
+        per iteration (Acc = [4]Acc + T, T in {±P, ±3P}; accumulator
+        coefficients even vs odd addends: exception-free as integer
+        identities), then P is subtracted when k was even. ~990
+        constraints per scalar bit (was ~3400 pre-round-5).
+
+        Edge: k == order-1 (the only k with 2(k>>1)+1 ≡ 0 mod the
+        group order) makes the final chord degenerate and the circuit
+        UNSATISFIABLE (not wrong) — the incomplete-arithmetic class of
+        caveat the reference documents for its generic ladders
+        (point.go scalarMulGeneric); curves with an endomorphism
+        never take this path (GLV handles all k)."""
+        api = self.api
         f = self.f
         negPy = f.neg_nr(P[1])
-        acc = P
-        for b in reversed(bits[1:]):
+        cbits = list(bits[1:])
+        if len(cbits) % 2 == 0:
+            cbits.append(0)            # pad: c unchanged, m odd
+        m = len(cbits)
+        P3 = self.triple(P)
+        negP3y = f.neg_nr(P3[1])
+        # top (unpaired) digit
+        b = cbits[m - 1]
+        acc = self.double(P)
+        acc = self.add_distinct(acc, (P[0], f.select(b, P[1], negPy)))
+        for i in range(m - 2, 0, -2):
+            bh, bl = cbits[i], cbits[i - 1]
+            # digit 2*(2bh-1) + (2bl-1) in {±1, ±3}: |t|=3 iff bh==bl
+            xnor = api.sub(1, api.xor(bh, bl))
+            tx = f.select(xnor, P3[0], P[0])
+            ty0 = f.select(xnor, P3[1], P[1])
+            ty0n = f.select(xnor, negP3y, negPy)
+            ty = f.select(bh, ty0, ty0n)
             acc = self.double(acc)
-            ty = f.select(b, P[1], negPy)
-            acc = self.add_distinct(acc, (P[0], ty))
+            acc = self.double_and_add(acc, (tx, ty))
         # k even -> computed [k+1]P: subtract P (complete: k may be 0)
         cor = self.add_unified(acc, (P[0], negPy))
         return (f.select(bits[0], acc[0], cor[0]),
