@@ -80,11 +80,10 @@ class EcdsaCircuit(Circuit):
         super().__init__(**kw)
 
     def define(self, api):
+        f = swe.EmulatedCurve(api, swe.SECP256K1).f
         swe.ecdsa_verify(api, swe.SECP256K1,
-                         (swe.EmulatedCurve(api, swe.SECP256K1).f
-                          .from_limb_vars(self.qx),
-                          swe.EmulatedCurve(api, swe.SECP256K1).f
-                          .from_limb_vars(self.qy)),
+                         (f.from_limb_vars(self.qx),
+                          f.from_limb_vars(self.qy)),
                          self.h, self.r, self.s)
 
 
