@@ -54,3 +54,21 @@ def test_rollup_incremental_merkle():
     leaves[5] = 999
     assert t.root == mod.tree_root(leaves)
     assert t.path(2) == mod.tree_path(leaves, 2)
+
+
+def test_ecdsa_example_compiles():
+    """examples/ecdsa.py's circuit must stay in the GLV constraint
+    class (~234k; the pre-GLV ladder was 2.57M)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "ecdsa_example", os.path.join(os.path.dirname(__file__),
+                                      "..", "examples", "ecdsa.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from gnark_tpu import fields
+    from gnark_tpu.frontend import compile_circuit
+
+    cs = compile_circuit(mod.EcdsaCircuit(), fields.BN254_FR)
+    assert cs.nb_constraints < 400_000, cs.nb_constraints
