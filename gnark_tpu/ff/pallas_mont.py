@@ -172,12 +172,18 @@ class TFF:
         return r
 
     # selects the CIOS lowering; "fuse" (per-iteration contribution
-    # fusion) wins on TPU Mosaic, "cat" (concatenate baseline) kept
-    # for differential testing — see tools/mul_bench.py.
-    cios_impl = os.environ.get("GNARK_TPU_CIOS", "fuse")
+    # fusion) wins slightly on TPU Mosaic (tools/mul_bench.py
+    # 679 -> 666 cycles) but SEGFAULTS the XLA:CPU compiler on large
+    # programs (2^12-domain prove stages, jax 0.9.0) — so "auto"
+    # picks per backend. Env GNARK_TPU_CIOS forces either.
+    cios_impl = os.environ.get("GNARK_TPU_CIOS", "auto")
 
     def _cios(self, prods):
-        if self.cios_impl == "fuse":
+        impl = self.cios_impl
+        if impl == "auto":
+            import jax
+            impl = "fuse" if jax.default_backend() != "cpu" else "cat"
+        if impl == "fuse":
             return self._cios_fuse(prods)
         return self._cios_cat(prods)
 
