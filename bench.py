@@ -435,8 +435,11 @@ def main():
     # The headline is re-printed after EVERY secondary so the LAST
     # JSON line is always the headline even if the driver's outer
     # timeout kills the bench mid-secondary.
-    for name in ("ntt20", "msm22", "ntt24", "g16", "g16_20",
-                 "rollup", "plonk18", "msm20"):
+    # g16_20 AFTER rollup/plonk18: if its cache entry is missing it
+    # compiles for minutes and would starve the two metrics the
+    # round-4 verdict names first (cheapest-warmed-first ordering).
+    for name in ("ntt20", "msm22", "ntt24", "g16", "rollup",
+                 "plonk18", "g16_20", "msm20"):
         if _left() > 60:
             _run_secondary(name)
             print(headline, flush=True)
